@@ -1,0 +1,118 @@
+"""Segmentation losses and the PUNet ELBO — pure, jittable.
+
+TPU-native re-statement of the loss semantics in
+reference: prob_utils/my_models/probabilistic_unet.py:341-371 and the
+torch_em Dice losses the reference delegates to
+(reference call sites: probabilistic_unet.py:8,347).
+
+Reduction semantics preserved exactly (they matter for Dice parity, see
+SURVEY.md section 7 "Hard parts"):
+  * BCE recon loss: elementwise, then summed over ALL axes.
+  * Dice-with-logits recon loss (``rl_swap=True``): channelwise dice over
+    (batch + spatial), ``1 - dice`` summed over channels.
+  * KL: mean over batch.
+  * neg_elbo = recon_sum + beta * kl_mean.
+"""
+
+from __future__ import annotations
+
+from typing import Optional
+
+import jax
+import jax.numpy as jnp
+
+from .distributions import DiagGaussian, kl_divergence
+
+
+def bce_with_logits(logits: jax.Array, targets: jax.Array) -> jax.Array:
+    """Elementwise binary cross entropy with logits (no reduction).
+
+    Numerically stable form of torch ``nn.BCEWithLogitsLoss(reduction=None)``
+    (reference: probabilistic_unet.py:348).
+    """
+    # max(x, 0) - x*t + log(1 + exp(-|x|))
+    return (
+        jnp.maximum(logits, 0.0)
+        - logits * targets
+        + jnp.log1p(jnp.exp(-jnp.abs(logits)))
+    )
+
+
+def dice_loss_with_logits(
+    logits: jax.Array, targets: jax.Array, eps: float = 1e-7
+) -> jax.Array:
+    """Channelwise soft-dice loss on sigmoided logits, summed over channels.
+
+    Equivalent of torch_em ``DiceLossWithLogits`` (used by the reference when
+    ``rl_swap=True``, probabilistic_unet.py:347): per channel c,
+    ``1 - 2*sum(p*t) / max(sum(p^2) + sum(t^2), eps)`` with the sums running
+    over batch and spatial axes, then summed over channels. Layout here is
+    NHWC (channel-last, TPU-native) vs the reference's NCHW.
+    """
+    probs = jax.nn.sigmoid(logits)
+    reduce_axes = tuple(range(logits.ndim - 1))  # all but channel
+    num = 2.0 * jnp.sum(probs * targets, axis=reduce_axes)
+    denom = jnp.sum(jnp.square(probs), axis=reduce_axes) + jnp.sum(
+        jnp.square(targets), axis=reduce_axes
+    )
+    score = num / jnp.clip(denom, min=eps)
+    return jnp.sum(1.0 - score)
+
+
+def dice_loss(pred: jax.Array, targets: jax.Array, eps: float = 1e-7) -> jax.Array:
+    """Channelwise soft-dice loss on probabilities (torch_em ``DiceLoss``).
+
+    Used for plain-UNet supervised / pseudo training where the model output is
+    already sigmoided (reference: LIVECell/livecell_unet.py:48 via
+    default_segmentation_trainer; LIVECell/livecell_punet_target.py:105-106).
+    """
+    reduce_axes = tuple(range(pred.ndim - 1))
+    num = 2.0 * jnp.sum(pred * targets, axis=reduce_axes)
+    denom = jnp.sum(jnp.square(pred), axis=reduce_axes) + jnp.sum(
+        jnp.square(targets), axis=reduce_axes
+    )
+    score = num / jnp.clip(denom, min=eps)
+    return jnp.sum(1.0 - score)
+
+
+def neg_elbo(
+    reconstruction_logits: jax.Array,
+    segm: jax.Array,
+    posterior: DiagGaussian,
+    prior: DiagGaussian,
+    *,
+    beta: float = 1.0,
+    rl_swap: bool = True,
+    consensus_mask: Optional[jax.Array] = None,
+    consensus_masking: bool = False,
+):
+    """Negative evidence lower bound, exactly as the reference computes it.
+
+    reference: probabilistic_unet.py:341-371 —
+      criterion = DiceLossWithLogits if rl_swap else BCEWithLogits(unreduced)
+      kl        = mean over batch of analytic KL(posterior || prior)
+      recon     = sum(criterion(recon [* consm], segm [* consm]))
+      elbo      = -(recon + beta * kl)   (this function returns -elbo)
+
+    Note the reference multiplies the consensus mask into the *logits* (not the
+    probabilities) before the criterion (probabilistic_unet.py:363-366); we
+    preserve that.
+
+    Returns (neg_elbo, aux) where aux carries the recon/kl pieces for logging.
+    """
+    kl = jnp.mean(kl_divergence(posterior, prior))
+
+    if consensus_masking and consensus_mask is not None:
+        rec_in = reconstruction_logits * consensus_mask
+        seg_in = segm * consensus_mask
+    else:
+        rec_in = reconstruction_logits
+        seg_in = segm
+
+    if rl_swap:
+        recon = dice_loss_with_logits(rec_in, seg_in)
+    else:
+        recon = jnp.sum(bce_with_logits(rec_in, seg_in))
+
+    out = recon + beta * kl
+    return out, {"recon_loss": recon, "kl": kl}

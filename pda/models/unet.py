@@ -1,0 +1,118 @@
+"""UNet backbones — flax.linen, NHWC.
+
+Two models:
+  * :class:`PUNetBackbone` — the 4-level UNet used inside the PUNet
+    (reference prob_utils/my_models/unet.py:6-69): AvgPool down, bilinear
+    align-corners up, 3 convs per block, ``apply_last_layer=False`` mode so
+    Fcomb provides the segmentation head.
+  * :class:`UNet2d` — standalone supervised segmentation UNet, the capability
+    equivalent of torch_em ``model.UNet2d`` used by the plain-UNet experiments
+    (reference LIVECell/livecell_unet.py:39-45): depth-d double-conv blocks,
+    max-pool down, transposed-conv up, optional final sigmoid.
+"""
+
+from __future__ import annotations
+
+from typing import Optional, Sequence
+
+import jax
+import jax.numpy as jnp
+from flax import linen as nn
+
+from .blocks import ConvBlock, UpBlock, he_normal, trunc_normal_bias
+
+
+class PUNetBackbone(nn.Module):
+    """The UNet inside the probabilistic UNet (reference unet.py:6-69).
+
+    Returns the last-decoder feature map (``apply_last_layer=False``) of
+    ``num_filters[0]`` channels by default; with ``num_classes`` set it adds
+    the 1x1 segmentation head (``apply_last_layer=True``).
+    """
+
+    num_filters: Sequence[int] = (64, 128, 256, 512)
+    n_convs_per_block: int = 3
+    num_classes: Optional[int] = None  # None => apply_last_layer=False
+    dtype: jnp.dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x: jax.Array) -> jax.Array:
+        depth = len(self.num_filters)
+        skips = []
+        for i, feats in enumerate(self.num_filters):
+            x = ConvBlock(
+                feats, n_convs=self.n_convs_per_block, pool=(i > 0), dtype=self.dtype
+            )(x)
+            if i != depth - 1:
+                skips.append(x)
+
+        for i in range(depth - 2, -1, -1):
+            x = UpBlock(
+                self.num_filters[i], n_convs=self.n_convs_per_block, dtype=self.dtype
+            )(x, skips[i])
+
+        if self.num_classes is not None:
+            x = nn.Conv(
+                self.num_classes,
+                (1, 1),
+                kernel_init=he_normal,
+                bias_init=trunc_normal_bias(),
+                dtype=self.dtype,
+            )(x)
+        return x
+
+
+class _DoubleConv(nn.Module):
+    features: int
+    dtype: jnp.dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x: jax.Array) -> jax.Array:
+        for _ in range(2):
+            x = nn.Conv(self.features, (3, 3), padding="SAME", dtype=self.dtype)(x)
+            x = nn.GroupNorm(num_groups=None, group_size=1, dtype=self.dtype)(x)  # instance norm
+            x = nn.relu(x)
+        return x
+
+
+class UNet2d(nn.Module):
+    """Standalone 2D segmentation UNet (torch_em ``UNet2d`` equivalent).
+
+    Capability match for the reference's external dependency
+    (SURVEY.md section 2.9; call sites LIVECell/livecell_unet.py:39-45,
+    MitoEM/mitoem_unet.py:18-24): depth-d encoder of double 3x3 convs with
+    instance norm, 2x2 max-pool down, stride-2 transposed-conv up with skip
+    concatenation, 1x1 head, optional sigmoid.
+    """
+
+    in_channels: int = 1
+    out_channels: int = 1
+    depth: int = 4
+    initial_features: int = 64
+    gain: int = 2
+    final_activation: Optional[str] = "sigmoid"
+    dtype: jnp.dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x: jax.Array) -> jax.Array:
+        feats = [self.initial_features * self.gain**i for i in range(self.depth + 1)]
+
+        skips = []
+        for i in range(self.depth):
+            x = _DoubleConv(feats[i], dtype=self.dtype)(x)
+            skips.append(x)
+            x = nn.max_pool(x, (2, 2), strides=(2, 2))
+
+        x = _DoubleConv(feats[self.depth], dtype=self.dtype)(x)
+
+        for i in range(self.depth - 1, -1, -1):
+            x = nn.ConvTranspose(
+                feats[i], (2, 2), strides=(2, 2), dtype=self.dtype
+            )(x)
+            x = jnp.concatenate([x, skips[i]], axis=-1)
+            x = _DoubleConv(feats[i], dtype=self.dtype)(x)
+
+        x = nn.Conv(self.out_channels, (1, 1), dtype=self.dtype)(x)
+        if self.final_activation == "sigmoid":
+            x = nn.sigmoid(x)
+        return x

@@ -1,0 +1,10 @@
+"""Device mesh + sharding helpers (data-parallel over ICI)."""
+
+from .mesh import (
+    batch_sharding,
+    get_mesh,
+    replicated,
+    shard_batch,
+)
+
+__all__ = ["get_mesh", "batch_sharding", "replicated", "shard_batch"]

@@ -1,0 +1,476 @@
+"""Training engine: the torch_em-DefaultTrainer capability, TPU-native.
+
+One :class:`Trainer` base drives the fit loop (epoching, validation cadence,
+best/latest checkpoints, LR plateau scheduling, TB logging, throughput
+counters) and seven thin subclasses bind the per-algorithm jitted step
+functions — mirroring the reference trainer classes one-for-one
+(SURVEY.md section 2.2):
+
+  UNetTrainer          <- torch_em default_segmentation_trainer
+  PUNetTrainer         <- prob_utils/my_trainer/punet_trainer.py
+  PseudoTrainer        <- punet_target_trainer.py:12  (UNet on pseudo labels)
+  PseudoTrainerPUNet   <- punet_target_trainer.py:92
+  MeanTeacherTrainer   <- mean_teacher_trainer.py
+  FixMatchTrainer      <- fixmatch_trainer.py
+  AdaMTTrainer         <- adamt_trainer.py
+  AdaMatchTrainer      <- adamatch_trainer.py
+
+Key engine differences vs the reference (deliberate, TPU-first):
+  * the train step — including teacher MC-16 pseudo-labels, consensus, EMA —
+    is ONE donated jitted function; the Python loop only feeds batches;
+  * metrics are fetched with a one-step delay so the host never blocks the
+    device pipeline;
+  * an optional ``jax.sharding.Mesh`` shards every batch over the ``data``
+    axis — the same code runs 1-chip or N-chip.
+"""
+
+from __future__ import annotations
+
+import time
+from typing import Any, Callable, Iterable, Optional, Sequence
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..parallel.mesh import batch_sharding, replicated, shard_batch
+from . import steps as steps_lib
+from .checkpoint import (
+    BEST,
+    LATEST,
+    checkpoint_dir,
+    checkpoint_exists,
+    load_checkpoint,
+    load_params,
+    save_checkpoint,
+)
+from .logging import TrainLogger
+from .optim import ReduceLROnPlateau, adam
+from .state import TrainState, create_train_state
+
+
+class Trainer:
+    """Base fit/validate/checkpoint engine."""
+
+    #: subclasses using an EMA teacher set this
+    with_teacher = False
+
+    def __init__(
+        self,
+        name: str,
+        model,
+        train_loader,
+        val_loader,
+        *,
+        learning_rate: float = 1e-5,
+        optimizer=None,
+        lr_scheduler: Optional[ReduceLROnPlateau] = None,
+        device: Any = None,  # accepted for API fidelity; JAX manages devices
+        mesh=None,
+        save_root: Optional[str] = None,
+        logger: bool = True,
+        log_image_interval: int = 100,
+        mixed_precision: bool = False,  # models carry dtype; kept for fidelity
+        seed: int = 0,
+    ):
+        self.name = name
+        self.model = model
+        self.train_loader = train_loader
+        self.val_loader = val_loader
+        self.tx = optimizer if optimizer is not None else adam(learning_rate)
+        self.lr_scheduler = lr_scheduler
+        self.mesh = mesh
+        self.save_root = save_root
+        self.ckpt_dir = checkpoint_dir(name, save_root)
+        self.logger = (
+            TrainLogger(name, save_root, log_image_interval) if logger else None
+        )
+        self.seed = seed
+
+        self._iteration = 0
+        self._best_metric = float("inf")
+        self._train_time = 0.0
+        self.state: Optional[TrainState] = None
+        self._train_step_jit = None
+        self._val_step_jit = None
+
+    # -- subclass hooks ------------------------------------------------------
+
+    def make_train_step(self) -> Callable:
+        raise NotImplementedError
+
+    def make_val_step(self) -> Callable:
+        raise NotImplementedError
+
+    def init_params(self, key, example_batch):
+        raise NotImplementedError
+
+    def train_batches(self) -> Iterable[Sequence[np.ndarray]]:
+        """One epoch of train batches (tuple per step)."""
+        return iter(self.train_loader)
+
+    def val_batches(self) -> Iterable[Sequence[np.ndarray]]:
+        return iter(self.val_loader)
+
+    def epoch_length(self) -> int:
+        return len(self.train_loader)
+
+    # -- setup ----------------------------------------------------------------
+
+    def _example_batch(self):
+        return next(iter(self.train_loader))
+
+    def initialize(self):
+        if self.state is not None:
+            return
+        key = jax.random.PRNGKey(self.seed)
+        k_init, k_state = jax.random.split(key)
+        params = self.init_params(k_init, self._example_batch())
+        self.state = create_train_state(
+            params, self.tx, k_state, with_teacher=self.with_teacher
+        )
+        if self.mesh is not None:
+            self.state = jax.device_put(self.state, replicated(self.mesh))
+        self._train_step_jit = jax.jit(self.make_train_step(), donate_argnums=0)
+        self._val_step_jit = jax.jit(self.make_val_step())
+        self._post_initialize()
+
+    def _post_initialize(self):
+        """Warm starts etc. — overridden by the self-training trainers."""
+
+    def _put(self, batch):
+        if self.mesh is not None:
+            return shard_batch(self.mesh, batch)
+        return jax.tree_util.tree_map(jnp.asarray, batch)
+
+    # -- fit loop --------------------------------------------------------------
+
+    def fit(self, iterations: int, *, load_from_checkpoint: Optional[str] = None):
+        """Train for ``iterations`` steps, validating every epoch —
+        torch_em DefaultTrainer.fit semantics."""
+        self.initialize()
+        if load_from_checkpoint is not None:
+            self.load_checkpoint(load_from_checkpoint)
+
+        pending = None  # (step_idx, metrics) fetched one step late
+        t_start = time.time()
+        n_this_fit = 0
+
+        while self._iteration < iterations:
+            for batch in self.train_batches():
+                batch = self._put(batch)
+                self.state, metrics = self._train_step_jit(self.state, *batch)
+                if self.logger is not None:
+                    if pending is not None:
+                        step_idx, pm = pending
+                        scalars = {k: float(v) for k, v in pm.items()}
+                        scalars["learning_rate"] = self.state.learning_rate
+                        self.logger.log_train(step_idx, scalars)
+                    pending = (self._iteration, metrics)
+
+                self._iteration += 1
+                n_this_fit += 1
+                if self._iteration >= iterations:
+                    break
+
+            val_metrics = self.validate()
+            current = val_metrics.get("metric", val_metrics.get("loss", 0.0))
+            if self.lr_scheduler is not None:
+                new_lr = self.lr_scheduler.step(current, self.state.learning_rate)
+                if new_lr != self.state.learning_rate:
+                    self.state = self.state.replace_lr(new_lr)
+
+            self._train_time += time.time() - t_start
+            t_start = time.time()
+            self.save_checkpoint(LATEST, current)
+            if current < self._best_metric:
+                self._best_metric = current
+                self.save_checkpoint(BEST, current)
+
+        if pending is not None and self.logger is not None:
+            step_idx, pm = pending
+            self.logger.log_train(step_idx, {k: float(v) for k, v in pm.items()})
+        dt = max(self._train_time, 1e-9)
+        return {"iterations": self._iteration, "train_time": self._train_time,
+                "steps_per_sec": n_this_fit / dt}
+
+    def validate(self) -> dict:
+        sums: dict = {}
+        n = 0
+        for batch in self.val_batches():
+            batch = self._put(batch)
+            self.state, metrics = self._val_step_jit(self.state, *batch)
+            for k, v in metrics.items():
+                sums[k] = sums.get(k, 0.0) + float(v)
+            n += 1
+        avg = {k: v / max(n, 1) for k, v in sums.items()}
+        if "dice" in avg:
+            print(f"The Average Dice Score for the Current Epoch is {avg['dice']}")
+        if self.logger is not None:
+            self.logger.log_validation(self._iteration, avg)
+        return avg
+
+    # -- checkpoints -------------------------------------------------------------
+
+    def save_checkpoint(self, which: str, current_metric: float):
+        extra = {}
+        if self.lr_scheduler is not None:
+            extra["lr_scheduler"] = self.lr_scheduler.state_dict()
+        save_checkpoint(
+            self.ckpt_dir,
+            self.state,
+            which=which,
+            current_metric=current_metric,
+            best_metric=self._best_metric,
+            train_time=self._train_time,
+            extra=extra,
+        )
+
+    def load_checkpoint(self, which: str = BEST):
+        self.initialize()
+        state, meta = load_checkpoint(self.ckpt_dir, self.state, which=which)
+        self.state = state
+        if self.mesh is not None:
+            self.state = jax.device_put(self.state, replicated(self.mesh))
+        self._iteration = meta.get("step", int(state.step))
+        self._best_metric = meta.get("best_metric", float("inf"))
+        self._train_time = meta.get("train_time", 0.0)
+        if self.lr_scheduler is not None and "lr_scheduler" in meta:
+            self.lr_scheduler.load_state_dict(meta["lr_scheduler"])
+        return meta
+
+    def warm_start(self, ckpt_path_or_dir: str, *, into_teacher: bool = False,
+                   from_key: str = "params"):
+        """Load params from another run's checkpoint into student or teacher
+        (reference warm-start pattern, mean_teacher_trainer.py:44-50)."""
+        import os
+
+        self.initialize()
+        directory = ckpt_path_or_dir
+        which = BEST
+        if directory.endswith(".ckpt"):
+            which = os.path.basename(directory).replace(".ckpt", "")
+            directory = os.path.dirname(directory)
+        params = load_params(directory, self.state.params, which=which, key=from_key)
+        if into_teacher:
+            self.state = self.state.replace(teacher_params=params)
+        else:
+            self.state = self.state.replace(params=params)
+
+
+# ---------------------------------------------------------------------------
+# concrete trainers
+# ---------------------------------------------------------------------------
+
+
+class _PUNetInitMixin:
+    """Init that touches posterior (needs a segm input)."""
+
+    def init_params(self, key, example_batch):
+        x = np.asarray(example_batch[0])
+        y = np.zeros((*x.shape[:-1], self.model.num_classes), dtype=np.float32)
+        variables = self.model.init(key, jnp.asarray(x), jnp.asarray(y))
+        return variables["params"]
+
+
+class UNetTrainer(Trainer):
+    """Supervised UNet2d trainer (torch_em default_segmentation_trainer
+    equivalent; reference usage LIVECell/livecell_unet.py:48-59)."""
+
+    def make_train_step(self):
+        return steps_lib.make_supervised_unet_step(self.model, self.tx)
+
+    def make_val_step(self):
+        return steps_lib.make_supervised_unet_val_step(self.model)
+
+    def init_params(self, key, example_batch):
+        x = jnp.asarray(np.asarray(example_batch[0]))
+        return self.model.init(key, x)["params"]
+
+
+class PUNetTrainer(_PUNetInitMixin, Trainer):
+    """Supervised source PUNet training (reference punet_trainer.py:13-97)."""
+
+    def make_train_step(self):
+        return steps_lib.make_supervised_punet_step(self.model, self.tx)
+
+    def make_val_step(self):
+        return steps_lib.make_punet_val_step(self.model)
+
+
+class PseudoTrainer(Trainer):
+    """UNet on fixed pseudo-labels + consensus masking
+    (reference punet_target_trainer.py:12-67)."""
+
+    def make_train_step(self):
+        return steps_lib.make_pseudo_unet_step(self.model, self.tx)
+
+    def make_val_step(self):
+        return steps_lib.make_pseudo_unet_val_step(self.model)
+
+    def init_params(self, key, example_batch):
+        x = jnp.asarray(np.asarray(example_batch[0]))
+        return self.model.init(key, x)["params"]
+
+
+class PseudoTrainerPUNet(_PUNetInitMixin, Trainer):
+    """PUNet on precomputed pseudo-labels + consensus from disk
+    (reference punet_target_trainer.py:92-183)."""
+
+    def make_train_step(self):
+        return steps_lib.make_pseudo_punet_step(self.model, self.tx)
+
+    def make_val_step(self):
+        return steps_lib.make_pseudo_punet_val_step(self.model)
+
+
+class MeanTeacherTrainer(_PUNetInitMixin, Trainer):
+    """Separate-training mean teacher (reference mean_teacher_trainer.py)."""
+
+    with_teacher = True
+
+    def __init__(
+        self,
+        *args,
+        ckpt_model: Optional[str] = None,
+        ckpt_teacher: Optional[str] = None,
+        momentum: float = 0.999,
+        do_consensus_masking: bool = False,
+        **kwargs,
+    ):
+        super().__init__(*args, **kwargs)
+        self.ckpt_model = ckpt_model
+        self.ckpt_teacher = ckpt_teacher
+        self.momentum = momentum
+        self.do_consensus_masking = do_consensus_masking
+
+    def make_train_step(self):
+        return steps_lib.make_mean_teacher_step(
+            self.model,
+            self.tx,
+            momentum=self.momentum,
+            do_consensus_masking=self.do_consensus_masking,
+        )
+
+    def make_val_step(self):
+        return steps_lib.make_mean_teacher_val_step(
+            self.model, do_consensus_masking=self.do_consensus_masking
+        )
+
+    def _post_initialize(self):
+        # Warm-start student and teacher from the source checkpoint
+        # (reference mean_teacher_trainer.py:44-50).
+        if self.ckpt_model is not None:
+            self.warm_start(self.ckpt_model)
+        if self.ckpt_teacher is not None:
+            self.warm_start(self.ckpt_teacher, into_teacher=True)
+
+
+class FixMatchTrainer(_PUNetInitMixin, Trainer):
+    """Separate-training FixMatch (reference fixmatch_trainer.py)."""
+
+    def __init__(
+        self,
+        *args,
+        ckpt_model: Optional[str] = None,
+        source_distribution=None,
+        do_consensus_masking: bool = False,
+        **kwargs,
+    ):
+        super().__init__(*args, **kwargs)
+        self.ckpt_model = ckpt_model
+        self.source_distribution = source_distribution
+        self.do_consensus_masking = do_consensus_masking
+
+    def make_train_step(self):
+        return steps_lib.make_fixmatch_step(
+            self.model,
+            self.tx,
+            source_distribution=self.source_distribution,
+            do_consensus_masking=self.do_consensus_masking,
+        )
+
+    def make_val_step(self):
+        return steps_lib.make_fixmatch_val_step(
+            self.model, do_consensus_masking=self.do_consensus_masking
+        )
+
+    def _post_initialize(self):
+        if self.ckpt_model is not None:
+            self.warm_start(self.ckpt_model)
+
+
+class _JointTrainer(_PUNetInitMixin, Trainer):
+    """Joint source+target training: zipped loaders, epoch = the shorter one
+    (reference adamt_trainer.py:24-26,89)."""
+
+    def __init__(self, name, model, source_train_loader, target_train_loader,
+                 val_loader, **kwargs):
+        train_loader = (
+            source_train_loader
+            if len(source_train_loader) < len(target_train_loader)
+            else target_train_loader
+        )
+        super().__init__(name, model, train_loader, val_loader, **kwargs)
+        self.source_train_loader = source_train_loader
+        self.target_train_loader = target_train_loader
+
+    def train_batches(self):
+        for (xs, ys), (xt, xt1, xt2, yt) in zip(
+            self.source_train_loader, self.target_train_loader
+        ):
+            yield (xs, ys, xt, xt1, xt2, yt)
+
+    def epoch_length(self):
+        return min(len(self.source_train_loader), len(self.target_train_loader))
+
+    def init_params(self, key, example_batch):
+        xs = np.asarray(example_batch[0])
+        y = np.zeros((*xs.shape[:-1], self.model.num_classes), dtype=np.float32)
+        return self.model.init(key, jnp.asarray(xs), jnp.asarray(y))["params"]
+
+    def _example_batch(self):
+        return next(self.train_batches())
+
+
+class AdaMTTrainer(_JointTrainer):
+    """Joint mean teacher (reference adamt_trainer.py)."""
+
+    with_teacher = True
+
+    def __init__(self, *args, momentum: float = 0.999,
+                 do_consensus_masking: bool = False, **kwargs):
+        super().__init__(*args, **kwargs)
+        self.momentum = momentum
+        self.do_consensus_masking = do_consensus_masking
+
+    def make_train_step(self):
+        return steps_lib.make_adamt_step(
+            self.model,
+            self.tx,
+            momentum=self.momentum,
+            do_consensus_masking=self.do_consensus_masking,
+        )
+
+    def make_val_step(self):
+        return steps_lib.make_adamt_val_step(
+            self.model, do_consensus_masking=self.do_consensus_masking
+        )
+
+
+class AdaMatchTrainer(_JointTrainer):
+    """Joint FixMatch-style training, no teacher (reference adamatch_trainer.py)."""
+
+    def __init__(self, *args, do_consensus_masking: bool = False, **kwargs):
+        super().__init__(*args, **kwargs)
+        self.do_consensus_masking = do_consensus_masking
+
+    def make_train_step(self):
+        return steps_lib.make_adamatch_step(
+            self.model, self.tx, do_consensus_masking=self.do_consensus_masking
+        )
+
+    def make_val_step(self):
+        return steps_lib.make_adamatch_val_step(
+            self.model, do_consensus_masking=self.do_consensus_masking
+        )

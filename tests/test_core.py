@@ -1,0 +1,206 @@
+"""Unit tests for pda.core — the pure math the whole framework rests on.
+
+Covers the SURVEY.md section 4 minimum bar: analytic-vs-MC KL, ELBO reduction
+semantics, consensus algebra, EMA schedules, distribution alignment, dice
+thresholds. Where a torch twin exists (BCE), we cross-check against torch CPU.
+"""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from pda.core import (
+    DiagGaussian,
+    bce_with_logits,
+    consensus_from_logits,
+    consensus_from_probs,
+    dice_loss_with_logits,
+    dice_score,
+    dice_score_jnp,
+    distribution_alignment,
+    ema_update,
+    kl_divergence,
+    l2_regularisation,
+    mc_kl_divergence,
+    neg_elbo,
+    ramped_momentum,
+)
+
+
+class TestDiagGaussian:
+    def test_kl_same_dist_is_zero(self):
+        d = DiagGaussian(jnp.array([[0.3, -1.0]]), jnp.array([[0.1, -0.5]]))
+        assert jnp.allclose(kl_divergence(d, d), 0.0, atol=1e-6)
+
+    def test_kl_hand_computed(self):
+        # KL(N(1, e^0) || N(0, e^0)) per-dim = 0.5 * mu^2 = 0.5; two dims -> 1.0
+        q = DiagGaussian(jnp.array([[1.0, 1.0]]), jnp.zeros((1, 2)))
+        p = DiagGaussian(jnp.zeros((1, 2)), jnp.zeros((1, 2)))
+        assert jnp.allclose(kl_divergence(q, p), 1.0, atol=1e-6)
+
+    def test_analytic_kl_matches_mc_estimate(self):
+        # SURVEY.md section 4.1: analytic KL vs MC KL estimate.
+        key = jax.random.PRNGKey(0)
+        q = DiagGaussian(jnp.array([[0.5, -0.2, 0.1]]), jnp.array([[-0.3, 0.2, 0.0]]))
+        p = DiagGaussian(jnp.array([[0.0, 0.1, -0.1]]), jnp.array([[0.0, -0.1, 0.3]]))
+        zs = q.sample_n(key, 200_000)  # (n, 1, 3)
+        mc = jnp.mean(jax.vmap(lambda z: mc_kl_divergence(q, p, z))(zs))
+        assert jnp.allclose(mc, kl_divergence(q, p)[0], atol=2e-2)
+
+    def test_sample_statistics(self):
+        key = jax.random.PRNGKey(1)
+        d = DiagGaussian(jnp.full((1, 4), 2.0), jnp.full((1, 4), jnp.log(0.5)))
+        zs = d.sample_n(key, 100_000)
+        assert jnp.allclose(zs.mean(), 2.0, atol=1e-2)
+        assert jnp.allclose(zs.std(), 0.5, atol=1e-2)
+
+    def test_log_prob_matches_scipy(self):
+        from scipy.stats import norm
+
+        d = DiagGaussian(jnp.array([[0.5, -1.0]]), jnp.array([[0.2, -0.3]]))
+        z = jnp.array([[0.1, 0.4]])
+        expected = norm.logpdf(
+            np.array(z), loc=np.array(d.mu), scale=np.exp(np.array(d.log_sigma))
+        ).sum()
+        assert jnp.allclose(d.log_prob(z)[0], expected, atol=1e-5)
+
+
+class TestLosses:
+    def test_bce_matches_torch(self):
+        import torch
+
+        logits = np.random.default_rng(0).normal(size=(2, 8, 8, 1)).astype(np.float32)
+        targets = (np.random.default_rng(1).random((2, 8, 8, 1)) > 0.5).astype(np.float32)
+        ours = np.array(bce_with_logits(jnp.array(logits), jnp.array(targets)))
+        theirs = torch.nn.functional.binary_cross_entropy_with_logits(
+            torch.from_numpy(logits), torch.from_numpy(targets), reduction="none"
+        ).numpy()
+        np.testing.assert_allclose(ours, theirs, rtol=5e-4, atol=1e-5)
+
+    def test_dice_loss_with_logits_perfect_prediction(self):
+        # Confident correct logits -> loss near 0.
+        targets = jnp.zeros((1, 8, 8, 1)).at[0, 2:6, 2:6, 0].set(1.0)
+        logits = jnp.where(targets > 0, 50.0, -50.0)
+        assert dice_loss_with_logits(logits, targets) < 1e-4
+
+    def test_dice_loss_with_logits_hand_value(self):
+        # p = sigmoid(0) = 0.5 everywhere, target all ones over N pixels:
+        # dice = 2*(0.5*N) / (0.25*N + N) = 1/1.25 = 0.8 -> loss 0.2
+        n = 16
+        logits = jnp.zeros((1, 4, 4, 1))
+        targets = jnp.ones((1, 4, 4, 1))
+        assert jnp.allclose(dice_loss_with_logits(logits, targets), 0.2, atol=1e-5)
+
+    def test_neg_elbo_reduction_semantics(self):
+        # SURVEY.md section 4.1: recon SUMMED, KL MEANED over batch (reference
+        # probabilistic_unet.py:351,368-371).
+        key = jax.random.PRNGKey(0)
+        b, h, w = 4, 8, 8
+        logits = jax.random.normal(key, (b, h, w, 1))
+        segm = (jax.random.uniform(jax.random.PRNGKey(1), (b, h, w, 1)) > 0.5).astype(
+            jnp.float32
+        )
+        q = DiagGaussian(jnp.ones((b, 3)), jnp.zeros((b, 3)))
+        p = DiagGaussian(jnp.zeros((b, 3)), jnp.zeros((b, 3)))
+        out, aux = neg_elbo(logits, segm, q, p, beta=2.0, rl_swap=False)
+        expected_recon = jnp.sum(bce_with_logits(logits, segm))
+        expected_kl = jnp.mean(kl_divergence(q, p))
+        assert jnp.allclose(aux["recon_loss"], expected_recon, rtol=1e-6)
+        assert jnp.allclose(aux["kl"], expected_kl, rtol=1e-6)
+        assert jnp.allclose(out, expected_recon + 2.0 * expected_kl, rtol=1e-6)
+
+    def test_neg_elbo_consensus_masks_logits(self):
+        # The reference multiplies the mask into logits AND targets
+        # (probabilistic_unet.py:363-366).
+        logits = jnp.full((1, 4, 4, 1), 3.0)
+        segm = jnp.ones((1, 4, 4, 1))
+        consm = jnp.zeros((1, 4, 4, 1))
+        q = p = DiagGaussian(jnp.zeros((1, 2)), jnp.zeros((1, 2)))
+        masked, _ = neg_elbo(
+            logits, segm, q, p, beta=0.0, rl_swap=False,
+            consensus_mask=consm, consensus_masking=True,
+        )
+        # All-zero mask -> BCE(0 logits, 0 targets) = log(2) per pixel, summed.
+        assert jnp.allclose(masked, 16 * jnp.log(2.0), rtol=1e-5)
+
+
+class TestConsensus:
+    def test_consensus_algebra(self):
+        # 4 samples on one pixel: [0.95, 0.95, 0.05, 0.5]
+        # agree = [1, 1, 1, 0] -> consensus 0.75 ; pseudo = mean = 0.6125
+        probs = jnp.array([0.95, 0.95, 0.05, 0.5]).reshape(4, 1, 1, 1, 1)
+        pseudo, cons = consensus_from_probs(probs)
+        assert jnp.allclose(pseudo, 0.6125)
+        assert jnp.allclose(cons, 0.75)
+
+    def test_consensus_masking_requires_unanimity(self):
+        probs = jnp.array([0.95, 0.95, 0.95]).reshape(3, 1, 1)
+        _, cons = consensus_from_probs(probs, masking=True)
+        assert jnp.allclose(cons, 1.0)
+        probs = jnp.array([0.95, 0.95, 0.5]).reshape(3, 1, 1)
+        _, cons = consensus_from_probs(probs, masking=True)
+        assert jnp.allclose(cons, 0.0)
+
+    def test_logits_path_matches_probs_path(self):
+        key = jax.random.PRNGKey(0)
+        logits = 4.0 * jax.random.normal(key, (16, 2, 8, 8, 1))
+        p_pseudo, p_cons = consensus_from_probs(jax.nn.sigmoid(logits))
+        l_pseudo, l_cons = consensus_from_logits(logits)
+        np.testing.assert_allclose(p_pseudo, l_pseudo, atol=1e-6)
+        np.testing.assert_allclose(p_cons, l_cons, atol=1e-6)
+
+    def test_distribution_alignment(self):
+        # Reference fixmatch_trainer.py:77-84 semantics on a hand case.
+        pseudo = jnp.array([[0.2, 0.8], [0.1, 0.9]])  # fg fraction = 0.5
+        source = jnp.array([0.25, 0.75])
+        aligned, ratio = distribution_alignment(pseudo, source)
+        np.testing.assert_allclose(ratio, [0.5, 1.5], rtol=1e-6)
+        np.testing.assert_allclose(
+            aligned, [[0.1, 1.0], [0.05, 1.0]], rtol=1e-6
+        )  # clipped at 1
+
+
+class TestEMA:
+    def test_flat_ema(self):
+        t = {"w": jnp.ones(3)}
+        s = {"w": jnp.zeros(3)}
+        out = ema_update(t, s, 0.9)
+        np.testing.assert_allclose(out["w"], 0.9)
+
+    def test_ramped_momentum_schedule(self):
+        # adamt_trainer.py:40-43: min(1 - 1/(it+1), 0.999)
+        assert jnp.allclose(ramped_momentum(jnp.array(0.0)), 0.0)
+        assert jnp.allclose(ramped_momentum(jnp.array(1.0)), 0.5)
+        assert jnp.allclose(ramped_momentum(jnp.array(10_000.0)), 0.999)
+
+
+class TestDice:
+    def test_dice_soft_and_thresholded(self):
+        seg = np.array([[0.9, 0.1], [0.8, 0.2]])
+        gt = np.array([[1, 0], [1, 0]])
+        soft = dice_score(seg, gt)
+        np.testing.assert_allclose(soft, 2 * 1.7 / (2 + 2.0 + 1e-7), rtol=1e-6)
+        hard = dice_score(seg, gt, threshold_seg=0.5)
+        np.testing.assert_allclose(hard, 1.0, rtol=1e-6)
+
+    def test_dice_jnp_matches_numpy(self):
+        rng = np.random.default_rng(3)
+        seg = rng.random((32, 32)).astype(np.float32)
+        gt = (rng.random((32, 32)) > 0.5).astype(np.float32)
+        np.testing.assert_allclose(
+            dice_score(seg, gt, threshold_seg=0.5),
+            float(dice_score_jnp(jnp.array(seg), jnp.array(gt), threshold_seg=0.5)),
+            rtol=1e-5,
+        )
+
+    def test_shape_mismatch_raises(self):
+        with pytest.raises(AssertionError):
+            dice_score(np.zeros((2, 2)), np.zeros((3, 3)))
+
+
+class TestL2Reg:
+    def test_matches_reference_semantics(self):
+        # Sum of per-tensor 2-norms, NOT a global norm (my_models/utils.py:32-40).
+        params = {"a": jnp.array([3.0, 4.0]), "b": {"c": jnp.array([5.0, 12.0])}}
+        assert jnp.allclose(l2_regularisation(params), 5.0 + 13.0)
