@@ -1,0 +1,176 @@
+"""Benchmark: Mean-Teacher PUNet self-training throughput on TPU.
+
+The BASELINE.json north star: PUNet Mean-Teacher training on LIVECell-shaped
+patches with the teacher MC-16 forward + consensus mask fused into the same
+XLA program as the student step. This benchmark measures end-to-end train-step
+throughput (patches/sec/chip) at the reference configuration
+(filters (64,128,256,512), latent 6, fcomb 3, MC-16 teacher, patch 512^2,
+batch 2 — reference LIVECell/livecell_mt.py:29-41,94-113).
+
+``vs_baseline`` compares against a torch-style "direct translation" step
+implemented in JAX: 16 sequential full Fcomb decodes (no shared feature
+term), consensus assembled sample-by-sample, EMA as a separate dispatch —
+i.e. the reference's computation graph without the TPU-first fusions.
+
+Prints ONE JSON line:
+  {"metric": ..., "value": N, "unit": ..., "vs_baseline": N}
+"""
+
+from __future__ import annotations
+
+import json
+import time
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+BATCH = 2
+HW = 512
+N_MC = 16
+FILTERS = (64, 128, 256, 512)
+WARMUP = 3
+ITERS = 20
+
+
+def build():
+    from pda.models import ProbabilisticUnet
+    from pda.train.optim import adam
+    from pda.train.state import create_train_state
+    from pda.train.steps import make_mean_teacher_step
+
+    model = ProbabilisticUnet(
+        input_channels=1,
+        num_classes=1,
+        num_filters=FILTERS,
+        latent_dim=6,
+        no_convs_fcomb=3,
+        beta=1.0,
+        rl_swap=True,
+        consensus_masking=True,
+    )
+    tx = adam(1e-5)
+    key = jax.random.PRNGKey(0)
+    x0 = jnp.zeros((1, 64, 64, 1), jnp.float32)
+    # init on CPU — the init program compiles pathologically on the TPU
+    # remote-compile path; the train step itself compiles fast.
+    with jax.default_device(jax.devices("cpu")[0]):
+        params = model.init(key, x0, x0)["params"]
+        state = create_train_state(params, tx, key, with_teacher=True)
+    state = jax.device_put(state, jax.devices()[0])
+    step = jax.jit(
+        make_mean_teacher_step(model, tx, do_consensus_masking=True),
+        donate_argnums=0,
+    )
+    return model, tx, state, step
+
+
+def build_naive(model, tx):
+    """Torch-style unfused step: sequential MC decodes, full fcomb each time."""
+    import optax
+
+    from pda.core import consensus_from_probs, ema_update
+    from pda.train.steps import REG_WEIGHT, _punet_loss
+
+    def naive_step(state, x, x1, x2, gt):
+        rng, k_post = jax.random.split(state.rng)
+        # teacher MC: n sequential full decodes (reference
+        # mean_teacher_trainer.py:74: a Python loop of model.sample()).
+        tparams = jax.lax.stop_gradient(state.teacher_params)
+        enc = model.apply({"params": tparams}, x1, method="encode")
+        samples = []
+        key = rng
+        for _ in range(N_MC):
+            key, sub = jax.random.split(key)
+            z = enc.prior.sample(sub)
+            logits = model.apply({"params": tparams}, enc.features, z, method="decode")
+            samples.append(jax.nn.sigmoid(logits))
+        stack = jnp.stack(samples, axis=0)
+        y, zc = consensus_from_probs(stack, masking=True)
+        y, zc = jax.lax.stop_gradient(y), jax.lax.stop_gradient(zc)
+
+        def loss_fn(params):
+            return _punet_loss(model, params, x2, y, k_post, consm=zc)
+
+        (loss, _), grads = jax.value_and_grad(loss_fn, has_aux=True)(state.params)
+        updates, opt_state = tx.update(grads, state.opt_state, state.params)
+        params = optax.apply_updates(state.params, updates)
+        state = state.replace(
+            step=state.step + 1, params=params, opt_state=opt_state, rng=rng
+        )
+        return state, loss
+
+    # EMA as a separate dispatch (reference does a separate host-side loop).
+    def naive_ema(state):
+        return state.replace(
+            teacher_params=ema_update(state.teacher_params, state.params, 0.999)
+        )
+
+    return jax.jit(naive_step, donate_argnums=0), jax.jit(naive_ema, donate_argnums=0)
+
+
+def timed(run, state, batch, iters):
+    for _ in range(WARMUP):
+        state = run(state, batch)
+    jax.block_until_ready(jax.tree_util.tree_leaves(state.params)[0])
+    t0 = time.perf_counter()
+    for _ in range(iters):
+        state = run(state, batch)
+    jax.block_until_ready(jax.tree_util.tree_leaves(state.params)[0])
+    return (time.perf_counter() - t0) / iters, state
+
+
+def main():
+    rng = np.random.default_rng(0)
+    batch = tuple(
+        jnp.asarray(rng.normal(size=(BATCH, HW, HW, 1)).astype(np.float32))
+        for _ in range(4)
+    )
+
+    model, tx, state, step = build()
+
+    def run_fused(state, batch):
+        state, _ = step(state, *batch)
+        return state
+
+    t_fused, state = timed(run_fused, state, batch, ITERS)
+
+    naive_step, naive_ema = build_naive(model, tx)
+    from pda.train.state import create_train_state
+    from pda.train.optim import adam as _adam
+
+    with jax.default_device(jax.devices("cpu")[0]):
+        state2 = create_train_state(
+            model.init(
+                jax.random.PRNGKey(0),
+                jnp.zeros((1, 64, 64, 1)),
+                jnp.zeros((1, 64, 64, 1)),
+            )["params"],
+            tx,
+            jax.random.PRNGKey(1),
+            with_teacher=True,
+        )
+    state2 = jax.device_put(state2, jax.devices()[0])
+
+    def run_naive(state, batch):
+        state, _ = naive_step(state, *batch)
+        return naive_ema(state)
+
+    t_naive, _ = timed(run_naive, state2, batch, max(ITERS // 2, 5))
+
+    patches_per_sec = BATCH / t_fused
+    vs_baseline = t_naive / t_fused
+    print(
+        json.dumps(
+            {
+                "metric": "mt_train_patches_per_sec_per_chip_512px",
+                "value": round(patches_per_sec, 3),
+                "unit": "patches/s",
+                "vs_baseline": round(vs_baseline, 3),
+            }
+        )
+    )
+
+
+if __name__ == "__main__":
+    main()

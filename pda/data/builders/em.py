@@ -1,0 +1,308 @@
+"""EM dataset builders: MitoEM, VNC, Lucchi, UroCell.
+
+Capability twins of reference prob_utils/my_datasets/{my_vnc.py, my_lucchi.py,
+my_urocell.py} and torch_em ``get_mitoem_loader`` (reference MitoEM/common.py).
+All loaders return 2D patches from H5 volumes via
+(Dual)SegmentationDataset; downloads are gated by ``download`` with checksums
+matching the reference where it pins them.
+"""
+
+from __future__ import annotations
+
+import os
+from glob import glob
+from shutil import rmtree
+from typing import Optional, Sequence, Tuple
+
+import numpy as np
+
+from ..datasets import DualSegmentationDataset, SegmentationDataset
+from ..loader import Loader
+from ..transforms import labels_to_binary
+from .util import download_source, unzip
+
+VNC_URL = "https://github.com/unidesigner/groundtruth-drosophila-vnc/archive/refs/heads/master.zip"
+VNC_CHECKSUM = "f7bd0db03c86b64440a16b60360ad60c0a4411f89e2c021c7ee2c8d6af3d7e86"
+LUCCHI_URL = "http://www.casser.io/files/lucchi_pp.zip"
+LUCCHI_CHECKSUM = "770ce9e98fc6f29c1b1a250c637e6c5125f2b5f1260e5a7687b55a79e2e8844d"
+MITOEM_URLS = {
+    "human": "https://huggingface.co/datasets/pytc/MitoEM/resolve/main/EM30-H-mito-train-val-v2.zip",
+    "rat": "https://huggingface.co/datasets/pytc/MitoEM/resolve/main/EM30-R-mito-train-val-v2.zip",
+}
+
+
+def _connected_components(binary_stack: np.ndarray) -> np.ndarray:
+    """Per-slice instance labels (skimage.measure.label equivalent used by the
+    reference's VNC builder, my_vnc.py:8,44)."""
+    from scipy import ndimage
+
+    out = np.zeros(binary_stack.shape, dtype="uint16")
+    for z in range(binary_stack.shape[0]):
+        lab, _ = ndimage.label(binary_stack[z] > 0)
+        out[z] = lab
+    return out
+
+
+def _stack_images(pattern: str) -> np.ndarray:
+    import imageio.v3 as imageio
+
+    files = sorted(glob(pattern))
+    assert files, f"no files match {pattern}"
+    return np.concatenate([np.asarray(imageio.imread(f))[None] for f in files], axis=0)
+
+
+# ---------------------------------------------------------------------------
+# VNC
+# ---------------------------------------------------------------------------
+
+
+def _get_vnc_data(path: str, download: bool):
+    """Build vnc_{train,test}.h5 from the github zip
+    (reference my_vnc.py:19-52)."""
+    import h5py
+
+    train_path = os.path.join(path, "vnc_train.h5")
+    test_path = os.path.join(path, "vnc_test.h5")
+    if os.path.exists(train_path) and os.path.exists(test_path):
+        return
+    os.makedirs(path, exist_ok=True)
+    zip_path = os.path.join(path, "vnc.zip")
+    download_source(zip_path, VNC_URL, download, VNC_CHECKSUM)
+    unzip(zip_path, path, remove=True)
+    root = os.path.join(path, "groundtruth-drosophila-vnc-master")
+    assert os.path.exists(root)
+
+    with h5py.File(train_path, "w") as f:
+        f.create_dataset(
+            "raw", data=_stack_images(os.path.join(root, "stack1", "raw", "*.tif")),
+            compression="gzip",
+        )
+        mito = _stack_images(os.path.join(root, "stack1", "mitochondria", "*.png"))
+        f.create_dataset(
+            "labels/mitochondria", data=_connected_components(mito), compression="gzip"
+        )
+    with h5py.File(test_path, "w") as f:
+        f.create_dataset(
+            "raw", data=_stack_images(os.path.join(root, "stack2", "raw", "*.tif")),
+            compression="gzip",
+        )
+    rmtree(root)
+
+
+def get_vnc_mito_loader(
+    path: str,
+    patch_shape,
+    *,
+    partition: str,
+    binary: bool = False,
+    download: bool = False,
+    batch_size: int = 1,
+    augmentation1=None,
+    augmentation2=None,
+    sampler=None,
+    n_samples: Optional[int] = None,
+    num_workers: int = 8,
+    **loader_kwargs,
+) -> Loader:
+    """VNC loader with the reference's deliberate partition REVERSAL
+    (my_vnc.py:69-75): only stack1 has labels, so self-training "train" (tr)
+    uses the test stack and validation (ts) uses the labeled train stack."""
+    _get_vnc_data(path, download)
+    assert partition in ("tr", "ts")
+    split = "test" if partition == "tr" else "train"
+    data_path = os.path.join(path, f"vnc_{split}.h5")
+    patch2d = tuple(patch_shape[-2:])
+    label_path = data_path if split == "train" else None
+    ds = DualSegmentationDataset(
+        data_path,
+        label_path,
+        raw_key="raw",
+        label_key="labels/mitochondria",
+        patch_shape=patch2d,
+        label_transform=labels_to_binary if binary else None,
+        augmentation1=augmentation1,
+        augmentation2=augmentation2,
+        sampler=sampler if label_path is not None else None,
+        n_samples=n_samples,
+    )
+    return Loader(ds, batch_size, num_workers=num_workers, **loader_kwargs)
+
+
+# ---------------------------------------------------------------------------
+# Lucchi
+# ---------------------------------------------------------------------------
+
+
+def _require_lucchi_data(path: str, download: bool):
+    """Build lucchi_{train,test}.h5 from lucchi_pp.zip (my_lucchi.py:38-75)."""
+    import h5py
+
+    if os.path.exists(os.path.join(path, "lucchi_train.h5")) and os.path.exists(
+        os.path.join(path, "lucchi_test.h5")
+    ):
+        return
+    os.makedirs(path, exist_ok=True)
+    zip_path = os.path.join(path, "lucchi.zip")
+    download_source(zip_path, LUCCHI_URL, download, LUCCHI_CHECKSUM)
+    unzip(zip_path, path, remove=True)
+    root = os.path.join(path, "Lucchi++")
+    assert os.path.exists(root), root
+
+    for inputs, out in [
+        (["Test_In", "Test_Out"], "lucchi_train.h5"),
+        (["Train_In", "Train_Out"], "lucchi_test.h5"),
+    ]:
+        raw = _stack_images(os.path.join(root, inputs[0], "*.png"))
+        labels_raw = _stack_images(os.path.join(root, inputs[1], "*.png"))
+        if labels_raw.ndim == 4:
+            labels = (labels_raw == 255).all(axis=-1).astype("uint8")
+        else:
+            labels = labels_raw.copy()
+            labels[labels == 255] = 1
+        assert raw.shape == labels.shape[:3]
+        with h5py.File(os.path.join(path, out), "w") as f:
+            f.create_dataset("raw", data=raw, compression="gzip")
+            f.create_dataset("labels", data=labels.astype("uint8"), compression="gzip")
+    rmtree(root)
+
+
+def get_lucchi_loader(
+    path: str,
+    split: str,
+    *,
+    patch_shape,
+    download: bool = False,
+    batch_size: int = 1,
+    augmentation1=None,
+    augmentation2=None,
+    sampler=None,
+    n_samples: Optional[int] = None,
+    num_workers: int = 8,
+    **loader_kwargs,
+) -> Loader:
+    """Lucchi++ loader (reference my_lucchi.py:78-86)."""
+    assert split in ("train", "test")
+    _require_lucchi_data(path, download)
+    data_path = os.path.join(path, f"lucchi_{split}.h5")
+    ds = DualSegmentationDataset(
+        data_path,
+        data_path,
+        raw_key="raw",
+        label_key="labels",
+        patch_shape=tuple(patch_shape[-2:]),
+        label_transform=labels_to_binary,
+        augmentation1=augmentation1,
+        augmentation2=augmentation2,
+        sampler=sampler,
+        n_samples=n_samples,
+    )
+    return Loader(ds, batch_size, num_workers=num_workers, **loader_kwargs)
+
+
+# ---------------------------------------------------------------------------
+# UroCell
+# ---------------------------------------------------------------------------
+
+
+def get_uro_cell_loader(
+    path: str,
+    split: str,
+    *,
+    patch_shape,
+    download: bool = False,
+    batch_size: int = 1,
+    augmentation1=None,
+    augmentation2=None,
+    sampler=None,
+    n_samples: Optional[int] = None,
+    num_workers: int = 8,
+    volume_paths: Optional[Sequence[str]] = None,
+    **loader_kwargs,
+) -> Loader:
+    """UroCell loader (reference my_urocell.py:6-26): volumes sorted, last
+    held out for test, second-last is val, rest train. ``volume_paths`` may be
+    passed directly (each an h5 with raw + labels/mito)."""
+    if volume_paths is None:
+        volume_paths = sorted(glob(os.path.join(path, "urocell", "*.h5")))
+    assert volume_paths, f"no UroCell volumes under {path}"
+    paths = sorted(volume_paths)[:-1]
+    if split == "train":
+        paths = paths[:-1] if len(paths) > 1 else paths
+    elif split == "val":
+        paths = [paths[-1]]
+    else:
+        raise ValueError(split)
+
+    from ..datasets import ConcatDataset
+
+    datasets = [
+        DualSegmentationDataset(
+            p,
+            p,
+            raw_key="raw",
+            label_key="labels/mito",
+            patch_shape=tuple(patch_shape[-2:]),
+            label_transform=labels_to_binary,
+            augmentation1=augmentation1,
+            augmentation2=augmentation2,
+            sampler=sampler,
+            n_samples=None if n_samples is None else n_samples // len(paths),
+        )
+        for p in paths
+    ]
+    ds = datasets[0] if len(datasets) == 1 else ConcatDataset(*datasets)
+    return Loader(ds, batch_size, num_workers=num_workers, **loader_kwargs)
+
+
+# ---------------------------------------------------------------------------
+# MitoEM
+# ---------------------------------------------------------------------------
+
+
+def get_mitoem_loader(
+    path: str,
+    splits: str,
+    patch_shape,
+    batch_size: int,
+    *,
+    samples: Sequence[str] = ("human", "rat"),
+    binary: bool = False,
+    download: bool = False,
+    sampler=None,
+    n_samples: Optional[int] = None,
+    num_workers: int = 8,
+    **loader_kwargs,
+) -> Loader:
+    """MitoEM source loader (torch_em ``get_mitoem_loader`` equivalent;
+    reference MitoEM/common.py:19-46). Expects/creates
+    ``<path>/<sample>_<split>.h5`` with raw + labels."""
+    split = splits if isinstance(splits, str) else splits[0]
+    assert split in ("train", "val")
+    volume_paths = []
+    for sample in samples:
+        p = os.path.join(path, f"{sample}_{split}.h5")
+        if not os.path.exists(p):
+            raise RuntimeError(
+                f"MitoEM volume {p} missing. Download {MITOEM_URLS.get(sample)} "
+                f"and convert to h5 with datasets 'raw' and 'labels' "
+                f"(the reference relies on torch_em's converter)."
+            )
+        volume_paths.append(p)
+
+    from ..datasets import ConcatDataset
+
+    datasets = [
+        SegmentationDataset(
+            p,
+            p,
+            raw_key="raw",
+            label_key="labels",
+            patch_shape=tuple(patch_shape[-2:]),
+            label_transform=labels_to_binary if binary else None,
+            sampler=sampler,
+            n_samples=None if n_samples is None else n_samples // len(volume_paths),
+        )
+        for p in volume_paths
+    ]
+    ds = datasets[0] if len(datasets) == 1 else ConcatDataset(*datasets)
+    return Loader(ds, batch_size, num_workers=num_workers, **loader_kwargs)

@@ -1,0 +1,243 @@
+"""Host-side numpy transforms & augmentations.
+
+Internalizes the torch_em transform surface the reference depends on
+(SURVEY.md section 2.9): ``standardize``, ``GaussianBlur``,
+``AdditiveGaussianNoise``, ``RandomContrast``, ``RandomApply``, ``Compose``,
+``get_raw_transform`` and the joint geometric augmentations
+(``get_augmentations(ndim=2)``). All are pure numpy/cv2 (no torch), operate
+on float32 ``(H, W)`` or ``(H, W, C)`` arrays, and take an explicit
+``numpy.random.Generator`` — JAX-style randomness discipline on the host
+(SURVEY.md section 7 "Randomness discipline").
+
+Reference call sites: weak augs LIVECell/livecell_mt.py:16-26, strong augs
+livecell_fm.py:56-67 / livecell_adamatch.py:29-40, geometric
+my_livecell.py:146.
+"""
+
+from __future__ import annotations
+
+from typing import Callable, Optional, Sequence, Tuple
+
+import numpy as np
+
+try:
+    import cv2
+
+    _HAS_CV2 = True
+except Exception:  # pragma: no cover
+    _HAS_CV2 = False
+
+EPS = 1e-7
+
+
+def standardize(
+    x: np.ndarray,
+    mean: Optional[float] = None,
+    std: Optional[float] = None,
+    eps: float = EPS,
+) -> np.ndarray:
+    """(x - mean) / (std + eps) — torch_em ``standardize`` /
+    reference ``my_standardize_torch`` (prob_utils/my_utils/util.py:9-14)."""
+    x = np.asarray(x, dtype=np.float32)
+    mean = x.mean() if mean is None else mean
+    x = x - mean
+    std = x.std() if std is None else std
+    return x / (std + eps)
+
+
+def normalize(x: np.ndarray, eps: float = EPS) -> np.ndarray:
+    """Min-max to [0, 1] (torch_em ``_normalize_torch`` equivalent)."""
+    x = np.asarray(x, dtype=np.float32)
+    x = x - x.min()
+    return x / (x.max() + eps)
+
+
+class Compose:
+    def __init__(self, *transforms: Callable):
+        self.transforms = transforms
+
+    def __call__(self, x: np.ndarray, rng: np.random.Generator) -> np.ndarray:
+        for t in self.transforms:
+            x = _call(t, x, rng)
+        return x
+
+
+def _call(t: Callable, x: np.ndarray, rng: np.random.Generator) -> np.ndarray:
+    """Call a transform that may or may not take the rng."""
+    try:
+        return t(x, rng)
+    except TypeError:
+        return t(x)
+
+
+class RandomApply:
+    """Apply each transform with probability p (torchvision RandomApply
+    equivalent; reference livecell_mt.py:20-22)."""
+
+    def __init__(self, transforms: Sequence[Callable], p: float = 0.5):
+        self.transforms = list(transforms)
+        self.p = p
+
+    def __call__(self, x: np.ndarray, rng: np.random.Generator) -> np.ndarray:
+        if rng.random() < self.p:
+            for t in self.transforms:
+                x = _call(t, x, rng)
+        return x
+
+
+class GaussianBlur:
+    """Random-sigma Gaussian blur (torch_em transform.raw.GaussianBlur).
+
+    Default sigma range matches torch_em's (0, 3); the strong-aug scripts use
+    (1, 4) (reference livecell_fm.py:59)."""
+
+    def __init__(self, kernel_size=None, sigma: Tuple[float, float] = (0.0, 3.0)):
+        self.sigma = sigma
+
+    def __call__(self, x: np.ndarray, rng: np.random.Generator) -> np.ndarray:
+        sigma = rng.uniform(*self.sigma)
+        if sigma <= 0:
+            return x
+        if _HAS_CV2:
+            squeeze = x.ndim == 3 and x.shape[-1] == 1
+            src = x[..., 0] if squeeze else x
+            out = cv2.GaussianBlur(
+                np.ascontiguousarray(src, dtype=np.float32), (0, 0), sigma
+            )
+            return out[..., None] if squeeze else out
+        from scipy.ndimage import gaussian_filter
+
+        return gaussian_filter(x, sigma)
+
+
+class AdditiveGaussianNoise:
+    """Additive noise with uniformly-sampled std
+    (torch_em AdditiveGaussianNoise; reference livecell_mt.py:21 uses
+    scale=(0, 0.15), clip_kwargs=False)."""
+
+    def __init__(self, scale: Tuple[float, float] = (0.0, 0.3), clip_kwargs=False):
+        self.scale = scale
+        self.clip_kwargs = clip_kwargs
+
+    def __call__(self, x: np.ndarray, rng: np.random.Generator) -> np.ndarray:
+        std = rng.uniform(*self.scale)
+        out = x + rng.normal(0.0, std, size=x.shape).astype(np.float32)
+        if self.clip_kwargs:
+            out = np.clip(out, 0.0, 1.0)
+        return out
+
+
+class RandomContrast:
+    """mean + alpha * (x - mean) with random alpha (torch_em RandomContrast;
+    reference livecell_fm.py:61 uses alpha=(0.33, 3), clip_kwargs=False)."""
+
+    def __init__(self, alpha: Tuple[float, float] = (0.8, 1.2), mean: Optional[float] = None,
+                 clip_kwargs=False):
+        self.alpha = alpha
+        self.mean = mean
+        self.clip_kwargs = clip_kwargs
+
+    def __call__(self, x: np.ndarray, rng: np.random.Generator) -> np.ndarray:
+        alpha = rng.uniform(*self.alpha)
+        mean = x.mean() if self.mean is None else self.mean
+        out = mean + alpha * (x - mean)
+        if self.clip_kwargs:
+            out = np.clip(out, 0.0, 1.0)
+        return out
+
+
+def get_raw_transform(
+    normalizer: Callable = standardize,
+    augmentation1: Optional[Callable] = None,
+    augmentation2: Optional[Callable] = None,
+) -> Callable:
+    """torch_em ``get_raw_transform`` equivalent: aug1 -> normalize -> aug2.
+
+    NOTE the torch_em composition order: augmentation1 is applied on the raw
+    data BEFORE normalization, augmentation2 after. The reference's weak augs
+    put the normalizer first inside augmentation1 itself
+    (livecell_mt.py:18-22), which we preserve by passing the same Compose.
+    """
+
+    def transform(x: np.ndarray, rng: np.random.Generator) -> np.ndarray:
+        if augmentation1 is not None:
+            x = _call(augmentation1, x, rng)
+        x = normalizer(x)
+        if augmentation2 is not None:
+            x = _call(augmentation2, x, rng)
+        return x
+
+    return transform
+
+
+# ---------------------------------------------------------------------------
+# joint geometric augmentations (raw + label together)
+# ---------------------------------------------------------------------------
+
+
+def get_augmentations(ndim: int = 2, p_flip: float = 0.5) -> Callable:
+    """Joint random flips + 90-degree rotations for (raw, label[, mask]) tuples.
+
+    Equivalent in role to torch_em ``transform.get_augmentations(ndim=2)``
+    (reference my_livecell.py:146, my_segmentation_datasets.py:352-355):
+    the same spatial transform is applied to every array of the tuple.
+    """
+    assert ndim == 2, "only 2D supported"
+
+    def augment(arrays: Sequence[np.ndarray], rng: np.random.Generator):
+        k = int(rng.integers(0, 4))
+        flip_h = rng.random() < p_flip
+        flip_v = rng.random() < p_flip
+
+        out = []
+        for a in arrays:
+            if k:
+                a = np.rot90(a, k, axes=(0, 1))
+            if flip_h:
+                a = a[:, ::-1]
+            if flip_v:
+                a = a[::-1, :]
+            out.append(np.ascontiguousarray(a))
+        return tuple(out)
+
+    return augment
+
+
+# ---------------------------------------------------------------------------
+# label transforms (torch_em transform.label equivalents)
+# ---------------------------------------------------------------------------
+
+
+def labels_to_binary(labels: np.ndarray) -> np.ndarray:
+    """Instance labels -> binary foreground (torch_em labels_to_binary;
+    reference my_livecell.py:188-192)."""
+    return (np.asarray(labels) > 0).astype(np.float32)
+
+
+def boundary_transform(labels: np.ndarray) -> np.ndarray:
+    """Instance labels -> boundary map (torch_em BoundaryTransform equivalent;
+    reference my_livecell.py:193-199). A pixel is boundary if any 4-neighbor
+    has a different instance id."""
+    lab = np.asarray(labels)
+    b = np.zeros(lab.shape, dtype=bool)
+    b[:-1, :] |= lab[:-1, :] != lab[1:, :]
+    b[1:, :] |= lab[1:, :] != lab[:-1, :]
+    b[:, :-1] |= lab[:, :-1] != lab[:, 1:]
+    b[:, 1:] |= lab[:, 1:] != lab[:, :-1]
+    return b.astype(np.float32)
+
+
+def affinity_transform(labels: np.ndarray, offsets=((0, 1), (1, 0))) -> np.ndarray:
+    """Instance labels -> affinity channels (torch_em AffinityTransform
+    equivalent; reference my_livecell.py:200-205). Channel last."""
+    lab = np.asarray(labels)
+    chans = []
+    for dy, dx in offsets:
+        aff = np.zeros(lab.shape, dtype=np.float32)
+        h, w = lab.shape[:2]
+        src = lab[max(0, -dy) : h - max(0, dy), max(0, -dx) : w - max(0, dx)]
+        dst = lab[max(0, dy) : h + min(0, dy) or h, max(0, dx) : w + min(0, dx) or w]
+        same = (src == dst) & (src > 0)
+        aff[max(0, -dy) : h - max(0, dy), max(0, -dx) : w - max(0, dx)] = same
+        chans.append(aff)
+    return np.stack(chans, axis=-1)

@@ -1,0 +1,200 @@
+"""Prediction pipelines: tiled MC inference, pseudo-label export, UNet inference.
+
+File-in/file-out (TIFF), glob-driven — the same surface as reference
+prob_utils/my_predictions/ (punet_predictions.py, unet_predictions.py) with
+the compute moved fully on-device:
+
+  punet_prediction        — tiled (384^2 blocks, 64-px halo) MC-N mean-prob
+                            maps per image (reference punet_predictions.py:15-63)
+  punet_pseudo_prediction — full-image MC-N pseudo-label + consensus export
+                            into annotations/<split>/<name>/ and
+                            consensus/<split>/<name>/ trees (reference :66-136)
+  unet_prediction         — tiled or padded deterministic UNet inference
+                            (reference unet_predictions.py:12-43)
+
+Per distinct image geometry the whole pipeline (tile gather -> per-tile
+standardize -> MC-N forward with shared features -> consensus -> stitch)
+compiles to ONE XLA program; the only host work is TIFF IO.
+"""
+
+from __future__ import annotations
+
+import os
+from functools import partial
+from glob import glob
+from typing import Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..core.consensus import consensus_from_logits
+from ..models.punet import mc_decode_logits
+from .tiling import (
+    extract_tiles,
+    pad_to_divisible,
+    stitch_tiles,
+    tile_standardize,
+)
+
+BLOCK_SHAPE = (384, 384)  # reference punet_predictions.py:44
+HALO = (64, 64)  # reference punet_predictions.py:45
+
+
+def _read_image(path: str) -> np.ndarray:
+    import imageio.v3 as imageio
+
+    img = np.asarray(imageio.imread(path)).astype(np.float32)
+    if img.ndim == 3:  # RGB(A) -> first channel (reference data is grayscale)
+        img = img[..., 0]
+    return img
+
+
+def _write_tiff(path: str, data: np.ndarray):
+    import imageio.v3 as imageio
+
+    imageio.imwrite(path, np.ascontiguousarray(data))
+
+
+@partial(jax.jit, static_argnames=("model", "n_samples", "block", "halo"))
+def _tiled_punet_probs(model, params, image, key, n_samples, block, halo):
+    """Full-frame mean MC probability map via the on-device tile pipeline."""
+    tiles = tile_standardize(extract_tiles(image, block, halo))
+    enc = model.apply({"params": params}, tiles, method="encode")
+    logits = mc_decode_logits(model, params, enc.features, enc.prior, key, n_samples)
+    probs = jnp.mean(jax.nn.sigmoid(logits), axis=0)
+    return stitch_tiles(probs, image.shape[:2], block, halo)
+
+
+@partial(jax.jit, static_argnames=("model", "n_samples", "masking"))
+def _full_punet_pseudo(model, params, image, key, n_samples, masking):
+    """Whole-image (padded) MC pseudo-label + consensus — the reference's
+    untiled pseudo-labeling path (punet_predictions.py:96-124)."""
+    mean = jnp.mean(image)
+    std = jnp.std(image - mean)
+    norm = (image - mean) / (std + 1e-7)
+    padded, (h, w) = pad_to_divisible(norm, (16, 16))
+    x = padded[None]
+    enc = model.apply({"params": params}, x, method="encode")
+    logits = mc_decode_logits(model, params, enc.features, enc.prior, key, n_samples)
+    pseudo, consensus = consensus_from_logits(logits, masking=masking)
+    return pseudo[0, :h, :w], consensus[0, :h, :w]
+
+
+@partial(jax.jit, static_argnames=("model", "block", "halo"))
+def _tiled_unet_probs(model, params, image, block, halo):
+    tiles = tile_standardize(extract_tiles(image, block, halo))
+    probs = model.apply({"params": params}, tiles)
+    return stitch_tiles(probs, image.shape[:2], block, halo)
+
+
+@partial(jax.jit, static_argnames=("model",))
+def _padded_unet_probs(model, params, image):
+    mean = jnp.mean(image)
+    std = jnp.std(image - mean)
+    norm = (image - mean) / (std + 1e-7)
+    padded, (h, w) = pad_to_divisible(norm, (16, 16))
+    probs = model.apply({"params": params}, padded[None])
+    return probs[0, :h, :w]
+
+
+def punet_prediction(
+    input_image_path: str,
+    output_pred_path: str,
+    model,
+    params,
+    *,
+    prior_samples: int = 8,
+    block_shape: Tuple[int, int] = BLOCK_SHAPE,
+    halo: Tuple[int, int] = HALO,
+    seed: int = 0,
+    verbose: bool = True,
+):
+    """Glob input images -> per image tiled MC-mean probability TIFF.
+
+    Reference: punet_prediction (punet_predictions.py:15-63).
+    """
+    os.makedirs(output_pred_path, exist_ok=True)
+    key = jax.random.PRNGKey(seed)
+    for img_path in sorted(glob(input_image_path)):
+        img_name = os.path.basename(img_path)
+        img = _read_image(img_path)[..., None]
+        key, sub = jax.random.split(key)
+        pred = _tiled_punet_probs(
+            model, params, jnp.asarray(img), sub, prior_samples, block_shape, halo
+        )
+        out = os.path.join(output_pred_path, f"{img_name[:-4]}.tif")
+        _write_tiff(out, np.asarray(pred)[..., 0].astype(np.float32))
+        if verbose:
+            print(f"Saved image at '{out}'")
+
+
+def punet_pseudo_prediction(
+    input_image_path: str,
+    output_pred_path: str,
+    model,
+    params,
+    *,
+    prior_samples: int = 8,
+    cellname: Optional[str] = None,
+    split_name: Optional[str] = None,
+    seed: int = 0,
+    verbose: bool = True,
+):
+    """Pseudo-label + consensus factory for target training.
+
+    Writes float pseudo-labels to ``annotations/<split>/<cell>/`` and binary
+    consensus masks to ``consensus/<split>/<cell>/`` — the directory contract
+    the consensus-aware datasets ingest (reference punet_predictions.py:66-136,
+    my_livecell.py:181-185). The consensus is binarized (unanimity) exactly as
+    the reference does for the file-export path (:124).
+    """
+    os.makedirs(output_pred_path, exist_ok=True)
+    key = jax.random.PRNGKey(seed)
+    pattern = os.path.join(input_image_path, f"{cellname or ''}*.tif")
+    dir1 = os.path.join(output_pred_path, "annotations", split_name or "", cellname or "")
+    dir2 = os.path.join(output_pred_path, "consensus", split_name or "", cellname or "")
+    os.makedirs(dir1, exist_ok=True)
+    os.makedirs(dir2, exist_ok=True)
+
+    for img_path in sorted(glob(pattern)):
+        img_name = os.path.basename(img_path)
+        img = _read_image(img_path)[..., None]
+        key, sub = jax.random.split(key)
+        pseudo, consensus = _full_punet_pseudo(
+            model, params, jnp.asarray(img), sub, prior_samples, True
+        )
+        _write_tiff(os.path.join(dir1, img_name), np.asarray(pseudo)[..., 0])
+        _write_tiff(
+            os.path.join(dir2, img_name),
+            np.asarray(consensus)[..., 0].astype("uint8"),
+        )
+        if verbose:
+            print(f"{img_name}'s predictions saved")
+
+
+def unet_prediction(
+    input_path: str,
+    output_path: str,
+    model,
+    params,
+    *,
+    tiling: bool = True,
+    block_shape: Tuple[int, int] = BLOCK_SHAPE,
+    halo: Tuple[int, int] = HALO,
+    verbose: bool = True,
+):
+    """Deterministic UNet inference, tiled or padded
+    (reference unet_predictions.py:12-43)."""
+    os.makedirs(output_path, exist_ok=True)
+    for img_path in sorted(glob(input_path)):
+        img_name = os.path.basename(img_path)
+        img = jnp.asarray(_read_image(img_path)[..., None])
+        if tiling:
+            pred = _tiled_unet_probs(model, params, img, block_shape, halo)
+        else:
+            pred = _padded_unet_probs(model, params, img)
+        out = os.path.join(output_path, f"{img_name[:-4]}.tif")
+        _write_tiff(out, np.asarray(pred)[..., 0].astype(np.float32))
+        if verbose:
+            print(f"Saved image at '{out}'")

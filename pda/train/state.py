@@ -52,7 +52,11 @@ def create_train_state(
     """Fresh state; the teacher (if any) starts as a copy of the student
     (reference mean_teacher_trainer.py:39-42) unless given explicitly."""
     if with_teacher and teacher_params is None:
-        teacher_params = jax.tree_util.tree_map(lambda x: x, params)
+        # A real buffer copy — aliasing the student's arrays would make the
+        # donated train step try to donate the same buffer twice.
+        teacher_params = jax.tree_util.tree_map(
+            lambda x: jnp.array(x, copy=True), params
+        )
     return TrainState(
         step=jnp.asarray(0, dtype=jnp.int32),
         params=params,

@@ -1,0 +1,197 @@
+"""Data pipeline tests: transforms, datasets, rejection sampling, loader."""
+
+import numpy as np
+import pytest
+
+from pda.data import (
+    AdditiveGaussianNoise,
+    Compose,
+    DualImageCollectionDataset,
+    DualRawImageCollectionDataset,
+    GaussianBlur,
+    ImageCollectionDataset,
+    Loader,
+    MinForegroundSampler,
+    RandomApply,
+    RandomContrast,
+    SegmentationDataset,
+    boundary_transform,
+    get_augmentations,
+    labels_to_binary,
+    standardize,
+)
+from pda.data.synthetic import make_consensus_arrays, make_dataset_arrays
+
+
+class TestTransforms:
+    def test_standardize(self, rng):
+        x = rng.normal(5.0, 3.0, size=(64, 64)).astype(np.float32)
+        out = standardize(x)
+        assert abs(out.mean()) < 1e-4 and abs(out.std() - 1.0) < 1e-3
+
+    def test_gaussian_blur_smooths(self, rng):
+        x = rng.normal(size=(64, 64)).astype(np.float32)
+        out = GaussianBlur(sigma=(2.0, 2.0))(x, np.random.default_rng(0))
+        assert out.std() < x.std()
+
+    def test_additive_noise_changes_input(self, rng):
+        x = np.zeros((32, 32), dtype=np.float32)
+        out = AdditiveGaussianNoise(scale=(0.1, 0.15))(x, np.random.default_rng(0))
+        assert out.std() > 0
+
+    def test_random_contrast(self):
+        x = np.linspace(0, 1, 64, dtype=np.float32).reshape(8, 8)
+        out = RandomContrast(alpha=(2.0, 2.0))(x, np.random.default_rng(0))
+        np.testing.assert_allclose(out.mean(), x.mean(), atol=1e-5)
+        assert out.std() > x.std() * 1.5
+
+    def test_random_apply_probability_zero_is_identity(self, rng):
+        x = rng.normal(size=(16, 16)).astype(np.float32)
+        aug = RandomApply([GaussianBlur()], p=0.0)
+        np.testing.assert_array_equal(aug(x, np.random.default_rng(0)), x)
+
+    def test_compose_with_weak_aug_recipe(self, rng):
+        # The reference weak-aug recipe (livecell_mt.py:16-26).
+        aug = Compose(
+            standardize,
+            RandomApply([GaussianBlur()], p=0.25),
+            RandomApply([AdditiveGaussianNoise(scale=(0, 0.15))], p=0.25),
+        )
+        x = rng.normal(size=(32, 32)).astype(np.float32)
+        out = aug(x, np.random.default_rng(0))
+        assert out.shape == x.shape and np.isfinite(out).all()
+
+    def test_joint_augmentations_keep_pairing(self, rng):
+        aug = get_augmentations(2)
+        raw = rng.normal(size=(16, 16)).astype(np.float32)
+        out_raw, out_lab = aug([raw, raw.copy()], np.random.default_rng(3))
+        np.testing.assert_array_equal(out_raw, out_lab)
+
+    def test_labels_to_binary(self):
+        lab = np.array([[0, 1], [2, 0]])
+        np.testing.assert_array_equal(labels_to_binary(lab), [[0, 1], [1, 0]])
+
+    def test_boundary_transform(self):
+        lab = np.zeros((4, 4))
+        lab[1:3, 1:3] = 1
+        b = boundary_transform(lab)
+        assert b[1, 1] == 1.0 and b[0, 0] == 0.0
+
+
+class TestDatasets:
+    def test_image_collection_shapes(self):
+        raws, labels = make_dataset_arrays(3, (64, 64))
+        ds = ImageCollectionDataset(raws, labels, patch_shape=(32, 32))
+        x, y = ds[0]
+        assert x.shape == (32, 32, 1) and y.shape == (32, 32, 1)
+        assert x.dtype == np.float32
+
+    def test_image_collection_with_consensus(self):
+        raws, labels = make_dataset_arrays(2, (64, 64))
+        cons = make_consensus_arrays(labels)
+        ds = ImageCollectionDataset(raws, labels, cons, patch_shape=(32, 32))
+        x, y, z = ds[0]
+        assert z.shape == (32, 32, 1)
+
+    def test_dual_dataset_views_differ(self):
+        raws, labels = make_dataset_arrays(2, (64, 64))
+        aug = Compose(standardize, AdditiveGaussianNoise(scale=(0.1, 0.2)))
+        ds = DualImageCollectionDataset(
+            raws, labels, patch_shape=(32, 32), augmentation1=aug, augmentation2=aug
+        )
+        x, x1, x2, y = ds[0]
+        assert x.shape == x1.shape == x2.shape == (32, 32, 1)
+        assert not np.allclose(x1, x2)
+
+    def test_dual_raw_dataset_dummy_labels(self):
+        raws, _ = make_dataset_arrays(2, (64, 64))
+        ds = DualRawImageCollectionDataset(raws, patch_shape=(32, 32))
+        x, x1, x2, y = ds[0]
+        assert set(np.unique(y)).issubset({0.0, 1.0})
+
+    def test_min_foreground_sampler_rejects_empty(self):
+        raws = [np.zeros((64, 64), dtype=np.float32)]
+        labels = [np.zeros((64, 64), dtype=np.float32)]
+        labels[0][:32, :32] = 1.0  # only one quadrant has foreground
+        ds = ImageCollectionDataset(
+            raws,
+            labels,
+            patch_shape=(8, 8),
+            sampler=MinForegroundSampler(min_fraction=0.5),
+            transform=None,
+        )
+        for i in range(5):
+            _, y = ds[i]
+            assert y.mean() > 0.5
+
+    def test_sampler_exhaustion_raises(self):
+        raws = [np.zeros((64, 64), dtype=np.float32)]
+        labels = [np.zeros((64, 64), dtype=np.float32)]
+        ds = ImageCollectionDataset(
+            raws, labels, patch_shape=(8, 8),
+            sampler=MinForegroundSampler(min_fraction=0.5),
+        )
+        with pytest.raises(RuntimeError):
+            ds[0]
+
+    def test_n_samples_extends_length(self):
+        raws, labels = make_dataset_arrays(2, (64, 64))
+        ds = ImageCollectionDataset(raws, labels, patch_shape=(32, 32), n_samples=50)
+        assert len(ds) == 50
+
+    def test_segmentation_dataset_h5_volume(self, tmp_path):
+        import h5py
+
+        vol = np.random.default_rng(0).random((4, 64, 64)).astype(np.float32)
+        lab = (vol > 0.5).astype(np.float32)
+        p = tmp_path / "vol.h5"
+        with h5py.File(p, "w") as f:
+            f.create_dataset("raw", data=vol)
+            f.create_dataset("labels", data=lab)
+        ds = SegmentationDataset(
+            str(p), str(p), raw_key="raw", label_key="labels", patch_shape=(32, 32)
+        )
+        x, y = ds[0]
+        assert x.shape == (32, 32, 1) and y.shape == (32, 32, 1)
+
+    def test_segmentation_dataset_roi(self, tmp_path):
+        import h5py
+
+        vol = np.random.default_rng(0).random((10, 64, 64)).astype(np.float32)
+        p = tmp_path / "vol.h5"
+        with h5py.File(p, "w") as f:
+            f.create_dataset("raw", data=vol)
+            f.create_dataset("labels", data=(vol > 0.5).astype("float32"))
+        ds = SegmentationDataset(
+            str(p), str(p), raw_key="raw", label_key="labels",
+            patch_shape=(32, 32), roi=slice(0, 3),
+        )
+        assert len(ds) == 3
+
+
+class TestLoader:
+    def test_batches_are_nhwc(self):
+        raws, labels = make_dataset_arrays(8, (64, 64))
+        ds = ImageCollectionDataset(raws, labels, patch_shape=(32, 32))
+        loader = Loader(ds, batch_size=4)
+        batches = list(loader)
+        assert len(batches) == len(loader) == 2
+        x, y = batches[0]
+        assert x.shape == (4, 32, 32, 1)
+
+    def test_workers_match_serial(self):
+        raws, labels = make_dataset_arrays(8, (64, 64))
+        ds = ImageCollectionDataset(raws, labels, patch_shape=(32, 32))
+        serial = list(Loader(ds, batch_size=4, num_workers=0, seed=7))
+        threaded = list(Loader(ds, batch_size=4, num_workers=4, seed=7))
+        for (a, b), (c, d) in zip(serial, threaded):
+            np.testing.assert_array_equal(a, c)
+            np.testing.assert_array_equal(b, d)
+
+    def test_shuffle_changes_order_between_epochs(self):
+        raws, labels = make_dataset_arrays(16, (64, 64))
+        ds = ImageCollectionDataset(raws, labels, patch_shape=(32, 32))
+        loader = Loader(ds, batch_size=4, shuffle=True, seed=1)
+        e1 = np.concatenate([b[0] for b in loader])
+        e2 = np.concatenate([b[0] for b in loader])
+        assert not np.allclose(e1, e2)

@@ -1,0 +1,287 @@
+"""Integration tests: every trainer runs end-to-end on synthetic data.
+
+SURVEY.md section 4 point 2: tiny synthetic dataset -> each trainer runs N
+steps with finite loss; checkpoint save/restore round-trip including teacher
+state; warm-start flow.
+"""
+
+import os
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from pda.data import (
+    AdditiveGaussianNoise,
+    Compose,
+    DualImageCollectionDataset,
+    ImageCollectionDataset,
+    Loader,
+    standardize,
+)
+from pda.data.synthetic import make_consensus_arrays, make_dataset_arrays
+from pda.models import ProbabilisticUnet, UNet2d
+from pda.train import (
+    AdaMatchTrainer,
+    AdaMTTrainer,
+    FixMatchTrainer,
+    MeanTeacherTrainer,
+    PseudoTrainer,
+    PseudoTrainerPUNet,
+    PUNetTrainer,
+    ReduceLROnPlateau,
+    UNetTrainer,
+)
+
+FILTERS = (4, 8, 12, 16)
+PATCH = (32, 32)
+
+
+def punet():
+    return ProbabilisticUnet(
+        input_channels=1,
+        num_classes=1,
+        num_filters=FILTERS,
+        latent_dim=6,
+        no_convs_fcomb=3,
+        beta=1.0,
+        rl_swap=True,
+    )
+
+
+def sup_loaders(tmp, n=4, bs=2):
+    raws, labels = make_dataset_arrays(n, (64, 64))
+    ds = ImageCollectionDataset(raws, labels, patch_shape=PATCH)
+    return Loader(ds, bs, seed=0), Loader(ds, 1, seed=1)
+
+
+def pseudo_loaders(n=4, bs=2):
+    raws, labels = make_dataset_arrays(n, (64, 64))
+    cons = make_consensus_arrays(labels)
+    ds = ImageCollectionDataset(raws, labels, cons, patch_shape=PATCH)
+    return Loader(ds, bs, seed=0), Loader(ds, 1, seed=1)
+
+
+def dual_loaders(n=4, bs=2):
+    raws, labels = make_dataset_arrays(n, (64, 64))
+    aug = Compose(standardize, AdditiveGaussianNoise(scale=(0.0, 0.15)))
+    ds = DualImageCollectionDataset(
+        raws, labels, patch_shape=PATCH, augmentation1=aug, augmentation2=aug
+    )
+    return Loader(ds, bs, seed=0), Loader(ds, 1, seed=1)
+
+
+def _fit_and_check(trainer, iterations=4):
+    stats = trainer.fit(iterations)
+    assert stats["iterations"] == iterations
+    # loss finite after training
+    metrics = trainer.validate()
+    assert np.isfinite(metrics["loss"])
+    return trainer, metrics
+
+
+class TestSupervisedTrainers:
+    def test_unet_trainer(self, tmp_path):
+        train, val = sup_loaders(tmp_path)
+        model = UNet2d(depth=2, initial_features=4)
+        t = UNetTrainer(
+            "test-unet", model, train, val,
+            learning_rate=1e-3, save_root=str(tmp_path), logger=False,
+        )
+        _fit_and_check(t)
+        assert os.path.exists(tmp_path / "checkpoints" / "test-unet" / "best.ckpt")
+        assert os.path.exists(tmp_path / "checkpoints" / "test-unet" / "latest.ckpt")
+
+    def test_punet_trainer_loss_decreases(self, tmp_path):
+        train, val = sup_loaders(tmp_path, n=8)
+        t = PUNetTrainer(
+            "test-punet", punet(), train, val,
+            learning_rate=1e-3, save_root=str(tmp_path), logger=False,
+            lr_scheduler=ReduceLROnPlateau(factor=0.9, patience=10),
+        )
+        t.initialize()
+        first_losses, last_losses = [], []
+        stats = t.fit(12)
+        val_metrics = t.validate()
+        assert 0.0 <= val_metrics["dice"] <= 1.0
+        assert np.isfinite(val_metrics["loss"])
+
+    def test_checkpoint_roundtrip(self, tmp_path):
+        train, val = sup_loaders(tmp_path)
+        t = PUNetTrainer(
+            "test-ckpt", punet(), train, val,
+            learning_rate=1e-3, save_root=str(tmp_path), logger=False,
+        )
+        t.fit(2)
+        step_before = int(t.state.step)
+        params_before = jax.tree_util.tree_leaves(t.state.params)[0]
+
+        t2 = PUNetTrainer(
+            "test-ckpt", punet(), train, val,
+            learning_rate=1e-3, save_root=str(tmp_path), logger=False,
+        )
+        t2.load_checkpoint("latest")
+        assert int(t2.state.step) == step_before
+        np.testing.assert_allclose(
+            jax.tree_util.tree_leaves(t2.state.params)[0], params_before
+        )
+
+    def test_resume_continues_iterations(self, tmp_path):
+        train, val = sup_loaders(tmp_path)
+        t = PUNetTrainer(
+            "test-resume", punet(), train, val,
+            learning_rate=1e-3, save_root=str(tmp_path), logger=False,
+        )
+        t.fit(2)
+        t2 = PUNetTrainer(
+            "test-resume", punet(), train, val,
+            learning_rate=1e-3, save_root=str(tmp_path), logger=False,
+        )
+        t2.fit(4, load_from_checkpoint="latest")
+        assert int(t2.state.step) == 4
+
+
+class TestPseudoTrainers:
+    def test_pseudo_unet(self, tmp_path):
+        train, val = pseudo_loaders()
+        model = UNet2d(depth=2, initial_features=4)
+        t = PseudoTrainer(
+            "test-pseudo-unet", model, train, val,
+            learning_rate=1e-3, save_root=str(tmp_path), logger=False,
+        )
+        _fit_and_check(t)
+
+    def test_pseudo_punet_consensus_weighting(self, tmp_path):
+        train, val = pseudo_loaders()
+        model = ProbabilisticUnet(
+            num_filters=FILTERS, no_convs_fcomb=3, beta=1.0,
+            rl_swap=True, consensus_masking=True,
+        )
+        t = PseudoTrainerPUNet(
+            "test-pseudo-punet", model, train, val,
+            learning_rate=1e-3, save_root=str(tmp_path), logger=False,
+        )
+        _fit_and_check(t)
+
+
+class TestSelfTrainingTrainers:
+    def test_mean_teacher(self, tmp_path):
+        train, val = dual_loaders()
+        model = ProbabilisticUnet(
+            num_filters=FILTERS, no_convs_fcomb=3, beta=1.0,
+            rl_swap=True, consensus_masking=True,
+        )
+        t = MeanTeacherTrainer(
+            "test-mt", model, train, val,
+            learning_rate=1e-3, save_root=str(tmp_path), logger=False,
+            momentum=0.99,
+        )
+        _fit_and_check(t)
+        # teacher must exist, differ from student, and round-trip via ckpt
+        assert t.state.teacher_params is not None
+        t2 = MeanTeacherTrainer(
+            "test-mt", model, train, val,
+            learning_rate=1e-3, save_root=str(tmp_path), logger=False,
+        )
+        t2.load_checkpoint("latest")
+        tp = jax.tree_util.tree_leaves(t.state.teacher_params)[0]
+        tp2 = jax.tree_util.tree_leaves(t2.state.teacher_params)[0]
+        np.testing.assert_allclose(tp, tp2)
+
+    def test_mean_teacher_ema_moves_teacher(self, tmp_path):
+        train, val = dual_loaders()
+        model = ProbabilisticUnet(
+            num_filters=FILTERS, no_convs_fcomb=3, beta=1.0, rl_swap=True,
+        )
+        t = MeanTeacherTrainer(
+            "test-mt-ema", model, train, val,
+            learning_rate=1e-2, save_root=str(tmp_path), logger=False,
+            momentum=0.5,
+        )
+        t.initialize()
+        teacher_before = jax.tree_util.tree_leaves(t.state.teacher_params)[0].copy()
+        t.fit(2)
+        teacher_after = jax.tree_util.tree_leaves(t.state.teacher_params)[0]
+        assert not np.allclose(teacher_before, teacher_after)
+
+    def test_warm_start_from_source(self, tmp_path):
+        # Train a source PUNet, then warm-start MT student+teacher from it
+        # (reference mean_teacher_trainer.py:44-50 / livecell_mt.py:94-97).
+        train, val = sup_loaders(tmp_path)
+        src = PUNetTrainer(
+            "test-src", punet(), train, val,
+            learning_rate=1e-3, save_root=str(tmp_path), logger=False,
+        )
+        src.fit(2)
+        ckpt = str(tmp_path / "checkpoints" / "test-src" / "best.ckpt")
+
+        dtrain, dval = dual_loaders()
+        t = MeanTeacherTrainer(
+            "test-mt-warm", punet(), dtrain, dval,
+            learning_rate=1e-3, save_root=str(tmp_path), logger=False,
+            ckpt_model=ckpt, ckpt_teacher=ckpt,
+        )
+        t.initialize()
+        sp = jax.tree_util.tree_leaves(src.state.params)
+        mp = jax.tree_util.tree_leaves(t.state.params)
+        tp = jax.tree_util.tree_leaves(t.state.teacher_params)
+        for a, b, c in zip(sp, mp, tp):
+            np.testing.assert_allclose(a, b)
+            np.testing.assert_allclose(a, c)
+
+    def test_fixmatch_with_distribution_alignment(self, tmp_path):
+        train, val = dual_loaders()
+        model = ProbabilisticUnet(
+            num_filters=FILTERS, no_convs_fcomb=3, beta=1.0,
+            rl_swap=True, consensus_masking=True,
+        )
+        t = FixMatchTrainer(
+            "test-fm", model, train, val,
+            learning_rate=1e-3, save_root=str(tmp_path), logger=False,
+            source_distribution=np.array([0.9, 0.1], dtype=np.float32),
+        )
+        _fit_and_check(t)
+
+
+class TestJointTrainers:
+    def test_adamt(self, tmp_path):
+        strain, _ = sup_loaders(tmp_path)
+        ttrain, tval = dual_loaders()
+        model = ProbabilisticUnet(
+            num_filters=FILTERS, no_convs_fcomb=3, beta=1.0,
+            rl_swap=True, consensus_masking=True,
+        )
+        t = AdaMTTrainer(
+            "test-adamt", model, strain, ttrain, tval,
+            learning_rate=1e-3, save_root=str(tmp_path), logger=False,
+        )
+        _fit_and_check(t)
+        assert t.state.teacher_params is not None
+
+    def test_adamatch(self, tmp_path):
+        strain, _ = sup_loaders(tmp_path)
+        ttrain, tval = dual_loaders()
+        model = ProbabilisticUnet(
+            num_filters=FILTERS, no_convs_fcomb=3, beta=1.0,
+            rl_swap=True, consensus_masking=True,
+        )
+        t = AdaMatchTrainer(
+            "test-adamatch", model, strain, ttrain, tval,
+            learning_rate=1e-3, save_root=str(tmp_path), logger=False,
+        )
+        _fit_and_check(t)
+        assert t.state.teacher_params is None
+
+
+class TestPlateauScheduler:
+    def test_reduces_after_patience(self):
+        sched = ReduceLROnPlateau(factor=0.5, patience=2)
+        lr = 1.0
+        lr = sched.step(1.0, lr)  # best=1.0
+        assert lr == 1.0
+        for _ in range(2):
+            lr = sched.step(2.0, lr)  # bad epochs 1, 2
+        assert lr == 1.0
+        lr = sched.step(2.0, lr)  # bad epoch 3 > patience
+        assert lr == 0.5
