@@ -19,18 +19,22 @@ Prints ONE JSON line:
 from __future__ import annotations
 
 import json
+import os
 import time
 
 import jax
 import jax.numpy as jnp
 import numpy as np
 
-BATCH = 2
-HW = 512
+BATCH = int(os.environ.get("PDA_BENCH_BATCH", 2))
+HW = int(os.environ.get("PDA_BENCH_HW", 512))
 N_MC = 16
 FILTERS = (64, 128, 256, 512)
 WARMUP = 3
-ITERS = 20
+ITERS = int(os.environ.get("PDA_BENCH_ITERS", 20))
+DTYPE = {"f32": jnp.float32, "bf16": jnp.bfloat16}[
+    os.environ.get("PDA_BENCH_DTYPE", "bf16")
+]
 
 
 def build():
@@ -48,6 +52,7 @@ def build():
         beta=1.0,
         rl_swap=True,
         consensus_masking=True,
+        dtype=DTYPE,
     )
     tx = adam(1e-5)
     key = jax.random.PRNGKey(0)

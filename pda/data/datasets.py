@@ -277,6 +277,14 @@ class DualImageCollectionDataset(_PatchDatasetBase):
         if self.transform is not None:
             raw, labels = self.transform([raw, labels], rng)
 
+        # No augmentations -> plain (x, y) tuple, exactly like the reference
+        # (my_image_collection_dataset.py:369-372) — the lung supervised
+        # scripts build Dual datasets without augs and expect 2-tuples.
+        if self.augmentation1 is None and self.augmentation2 is None:
+            if self.raw_transform is not None:
+                raw = self.raw_transform(raw)
+            return _ensure_hwc(raw), _ensure_hwc(labels)
+
         # Two augmented views of the (pre-normalization) raw patch
         # (reference :349-357: augs applied to copies of the raw patch; the
         # reference's weak/strong augs begin with standardize themselves).
@@ -342,6 +350,11 @@ class DualRawImageCollectionDataset(_PatchDatasetBase):
         raw_full = self._load(self.raw_images[index])
         bb = self._bounding_box(raw_full.shape[:2], rng)
         raw = np.array(raw_full[bb]).astype(np.float32)
+
+        if self.augmentation1 is None and self.augmentation2 is None:
+            if self.raw_transform is not None:
+                raw = self.raw_transform(raw)
+            return _ensure_hwc(raw), _ensure_hwc((raw > 0).astype(np.float32))
 
         raw1, raw2 = raw.copy(), raw.copy()
         if self.augmentation1 is not None:
@@ -457,6 +470,11 @@ class DualSegmentationDataset(SegmentationDataset):
         labels = np.asarray(labels, dtype=np.float32)
         if self.transform is not None:
             raw, labels = self.transform([raw, labels], rng)
+
+        if self.augmentation1 is None and self.augmentation2 is None:
+            if self.raw_transform is not None:
+                raw = self.raw_transform(raw)
+            return _ensure_hwc(raw), _ensure_hwc(labels)
 
         raw1, raw2 = raw.copy(), raw.copy()
         if self.augmentation1 is not None:

@@ -113,6 +113,7 @@ class UNet2d(nn.Module):
             x = _DoubleConv(feats[i], dtype=self.dtype)(x)
 
         x = nn.Conv(self.out_channels, (1, 1), dtype=self.dtype)(x)
+        x = x.astype(jnp.float32)  # head stays f32 for stable loss sums
         if self.final_activation == "sigmoid":
             x = nn.sigmoid(x)
         return x

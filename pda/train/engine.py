@@ -70,10 +70,16 @@ class Trainer:
         save_root: Optional[str] = None,
         logger: bool = True,
         log_image_interval: int = 100,
-        mixed_precision: bool = False,  # models carry dtype; kept for fidelity
+        mixed_precision: bool = False,
         seed: int = 0,
     ):
         self.name = name
+        # mixed_precision=True (the reference's AMP flag, e.g.
+        # livecell_punet.py:75) maps to bfloat16 compute on TPU: the module's
+        # ``dtype`` is cloned to bf16, parameters stay float32, and the loss
+        # heads cast back to float32 (no loss scaling needed for bf16).
+        if mixed_precision and hasattr(model, "dtype"):
+            model = model.clone(dtype=jnp.bfloat16)
         self.model = model
         self.train_loader = train_loader
         self.val_loader = val_loader
@@ -125,12 +131,19 @@ class Trainer:
             return
         key = jax.random.PRNGKey(self.seed)
         k_init, k_state = jax.random.split(key)
-        params = self.init_params(k_init, self._example_batch())
-        self.state = create_train_state(
-            params, self.tx, k_state, with_teacher=self.with_teacher
-        )
+        # Parameter init runs on the CPU backend: the init program
+        # (orthogonal/QR initializers) compiles pathologically slowly through
+        # the TPU remote-compile path, while train-step compiles are fast.
+        # The state is transferred to the accelerator afterwards.
+        with jax.default_device(jax.devices("cpu")[0]):
+            params = self.init_params(k_init, self._example_batch())
+            self.state = create_train_state(
+                params, self.tx, k_state, with_teacher=self.with_teacher
+            )
         if self.mesh is not None:
             self.state = jax.device_put(self.state, replicated(self.mesh))
+        elif jax.default_backend() != "cpu":
+            self.state = jax.device_put(self.state, jax.devices()[0])
         self._train_step_jit = jax.jit(self.make_train_step(), donate_argnums=0)
         self._val_step_jit = jax.jit(self.make_val_step())
         self._post_initialize()

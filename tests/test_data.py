@@ -105,9 +105,20 @@ class TestDatasets:
 
     def test_dual_raw_dataset_dummy_labels(self):
         raws, _ = make_dataset_arrays(2, (64, 64))
-        ds = DualRawImageCollectionDataset(raws, patch_shape=(32, 32))
+        aug = Compose(standardize)
+        ds = DualRawImageCollectionDataset(
+            raws, patch_shape=(32, 32), augmentation1=aug, augmentation2=aug
+        )
         x, x1, x2, y = ds[0]
         assert set(np.unique(y)).issubset({0.0, 1.0})
+
+    def test_dual_dataset_without_augs_returns_pairs(self):
+        # Reference semantics (my_image_collection_dataset.py:369-372): no
+        # augmentations -> plain (x, y) tuples.
+        raws, labels = make_dataset_arrays(2, (64, 64))
+        ds = DualImageCollectionDataset(raws, labels, patch_shape=(32, 32))
+        out = ds[0]
+        assert len(out) == 2
 
     def test_min_foreground_sampler_rejects_empty(self):
         raws = [np.zeros((64, 64), dtype=np.float32)]
