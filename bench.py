@@ -71,47 +71,70 @@ def build():
 
 
 def build_naive(model, tx):
-    """Torch-style unfused step: sequential MC decodes, full fcomb each time."""
+    """Direct-translation baseline: the reference's EXECUTION STRUCTURE.
+
+    The reference (mean_teacher_trainer.py:95-140) runs, per training step:
+      * one teacher forward dispatch,
+      * a 16-iteration PYTHON loop of separate sample() dispatches, each a
+        full Fcomb decode, materializing every sample map,
+      * a separate consensus reduction,
+      * a separate student forward/backward dispatch,
+      * a separate parameter-loop EMA update.
+    This baseline reproduces that dispatch/materialization structure in JAX
+    (each piece its own jitted program, samples stacked in HBM); the fused
+    step compiles all of it into ONE program with shared features and no
+    sample stack."""
     import optax
 
     from pda.core import consensus_from_probs, ema_update
-    from pda.train.steps import REG_WEIGHT, _punet_loss
+    from pda.train.steps import _punet_loss
 
-    def naive_step(state, x, x1, x2, gt):
-        rng, k_post = jax.random.split(state.rng)
-        # teacher MC: n sequential full decodes (reference
-        # mean_teacher_trainer.py:74: a Python loop of model.sample()).
-        tparams = jax.lax.stop_gradient(state.teacher_params)
-        enc = model.apply({"params": tparams}, x1, method="encode")
-        samples = []
-        key = rng
-        for _ in range(N_MC):
-            key, sub = jax.random.split(key)
-            z = enc.prior.sample(sub)
-            logits = model.apply({"params": tparams}, enc.features, z, method="decode")
-            samples.append(jax.nn.sigmoid(logits))
-        stack = jnp.stack(samples, axis=0)
-        y, zc = consensus_from_probs(stack, masking=True)
-        y, zc = jax.lax.stop_gradient(y), jax.lax.stop_gradient(zc)
+    encode = jax.jit(
+        lambda p, x: model.apply({"params": p}, x, method="encode")
+    )
+    decode_sig = jax.jit(
+        lambda p, f, z: jax.nn.sigmoid(
+            model.apply({"params": p}, f, z, method="decode")
+        )
+    )
+    consensus = jax.jit(
+        lambda stack: consensus_from_probs(stack, masking=True)
+    )
 
+    def student_update(state, x2, y, zc, k_post):
         def loss_fn(params):
             return _punet_loss(model, params, x2, y, k_post, consm=zc)
 
         (loss, _), grads = jax.value_and_grad(loss_fn, has_aux=True)(state.params)
         updates, opt_state = tx.update(grads, state.opt_state, state.params)
         params = optax.apply_updates(state.params, updates)
-        state = state.replace(
-            step=state.step + 1, params=params, opt_state=opt_state, rng=rng
-        )
-        return state, loss
-
-    # EMA as a separate dispatch (reference does a separate host-side loop).
-    def naive_ema(state):
         return state.replace(
-            teacher_params=ema_update(state.teacher_params, state.params, 0.999)
-        )
+            step=state.step + 1, params=params, opt_state=opt_state
+        ), loss
 
-    return jax.jit(naive_step, donate_argnums=0), jax.jit(naive_ema, donate_argnums=0)
+    student_update = jax.jit(student_update, donate_argnums=0)
+    naive_ema = jax.jit(
+        lambda state: state.replace(
+            teacher_params=ema_update(state.teacher_params, state.params, 0.999)
+        ),
+        donate_argnums=0,
+    )
+
+    def naive_step(state, x, x1, x2, gt):
+        rng, k_post = jax.random.split(state.rng)
+        enc = encode(state.teacher_params, x1)
+        samples = []
+        key = rng
+        for _ in range(N_MC):  # the reference's per-sample Python loop
+            key, sub = jax.random.split(key)
+            z = enc.prior.sample(sub)
+            samples.append(decode_sig(state.teacher_params, enc.features, z))
+        y, zc = consensus(jnp.stack(samples, axis=0))
+        state, loss = student_update(state, x2, y, zc, k_post)
+        state = state.replace(rng=rng)
+        return naive_ema(state), loss
+
+    return naive_step
 
 
 def timed(run, state, batch, iters):
@@ -140,9 +163,8 @@ def main():
 
     t_fused, state = timed(run_fused, state, batch, ITERS)
 
-    naive_step, naive_ema = build_naive(model, tx)
+    naive_step = build_naive(model, tx)
     from pda.train.state import create_train_state
-    from pda.train.optim import adam as _adam
 
     with jax.default_device(jax.devices("cpu")[0]):
         state2 = create_train_state(
@@ -159,7 +181,7 @@ def main():
 
     def run_naive(state, batch):
         state, _ = naive_step(state, *batch)
-        return naive_ema(state)
+        return state
 
     t_naive, _ = timed(run_naive, state2, batch, max(ITERS // 2, 5))
 

@@ -306,3 +306,65 @@ def get_mitoem_loader(
     ]
     ds = datasets[0] if len(datasets) == 1 else ConcatDataset(*datasets)
     return Loader(ds, batch_size, num_workers=num_workers, **loader_kwargs)
+
+
+# ---------------------------------------------------------------------------
+# convenience API parity with the reference segmentation-dataset module
+# ---------------------------------------------------------------------------
+
+
+def default_dual_segmentation_dataset(
+    raw_paths,
+    raw_key,
+    label_paths,
+    label_key,
+    patch_shape,
+    *,
+    binary: bool = False,
+    augmentation1=None,
+    augmentation2=None,
+    sampler=None,
+    n_samples=None,
+    rois=None,
+    **kwargs,
+):
+    """Reference ``default_dual_segmentation_dataset`` equivalent
+    (my_segmentation_datasets.py:314-447): one (Dual)SegmentationDataset per
+    volume path, concatenated."""
+    if isinstance(raw_paths, (str,)) or hasattr(raw_paths, "shape"):
+        raw_paths, label_paths = [raw_paths], [label_paths]
+    rois = rois if rois is not None else [None] * len(raw_paths)
+    datasets = [
+        DualSegmentationDataset(
+            rp,
+            lp,
+            raw_key=raw_key,
+            label_key=label_key,
+            patch_shape=tuple(patch_shape[-2:]),
+            roi=roi,
+            label_transform=labels_to_binary if binary else None,
+            augmentation1=augmentation1,
+            augmentation2=augmentation2,
+            sampler=sampler,
+            n_samples=None if n_samples is None else n_samples // len(raw_paths),
+        )
+        for rp, lp, roi in zip(raw_paths, label_paths, rois)
+    ]
+    from ..datasets import ConcatDataset
+
+    return datasets[0] if len(datasets) == 1 else ConcatDataset(*datasets)
+
+
+def default_dual_segmentation_loader(
+    raw_paths, raw_key, label_paths, label_key, *, batch_size=1, patch_shape,
+    num_workers: int = 8, shuffle: bool = True, ndim=None, **kwargs,
+):
+    """Reference ``default_dual_segmentation_loader`` equivalent: build the
+    dataset(s) and wrap in a Loader (``get_dual_data_loader``,
+    my_segmentation_datasets.py:450-454)."""
+    loader_kwargs = {}
+    ds = default_dual_segmentation_dataset(
+        raw_paths, raw_key, label_paths, label_key, patch_shape, **kwargs
+    )
+    return Loader(ds, batch_size, num_workers=num_workers, shuffle=shuffle,
+                  **loader_kwargs)

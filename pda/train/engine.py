@@ -158,21 +158,36 @@ class Trainer:
 
     # -- fit loop --------------------------------------------------------------
 
-    def fit(self, iterations: int, *, load_from_checkpoint: Optional[str] = None):
+    def fit(
+        self,
+        iterations: int,
+        *,
+        load_from_checkpoint: Optional[str] = None,
+        overwrite_training: bool = True,
+    ):
         """Train for ``iterations`` steps, validating every epoch —
-        torch_em DefaultTrainer.fit semantics."""
+        torch_em DefaultTrainer.fit semantics. ``overwrite_training=False``
+        resumes from the latest checkpoint if one exists (the reference's
+        resume-style flag, e.g. mitoem_punet.py:49)."""
         self.initialize()
+        if load_from_checkpoint is None and not overwrite_training and \
+                checkpoint_exists(self.ckpt_dir, LATEST):
+            load_from_checkpoint = LATEST
         if load_from_checkpoint is not None:
             self.load_checkpoint(load_from_checkpoint)
 
+        from .profiling import Throughput
+
         pending = None  # (step_idx, metrics) fetched one step late
         t_start = time.time()
-        n_this_fit = 0
+        throughput = Throughput()
+        self.throughput = throughput
 
         while self._iteration < iterations:
             for batch in self.train_batches():
                 batch = self._put(batch)
                 self.state, metrics = self._train_step_jit(self.state, *batch)
+                throughput.update(int(jax.tree_util.tree_leaves(batch)[0].shape[0]))
                 if self.logger is not None:
                     if pending is not None:
                         step_idx, pm = pending
@@ -182,11 +197,12 @@ class Trainer:
                     pending = (self._iteration, metrics)
 
                 self._iteration += 1
-                n_this_fit += 1
                 if self._iteration >= iterations:
                     break
 
+            throughput.stop()
             val_metrics = self.validate()
+            throughput.start()
             current = val_metrics.get("metric", val_metrics.get("loss", 0.0))
             if self.lr_scheduler is not None:
                 new_lr = self.lr_scheduler.step(current, self.state.learning_rate)
@@ -203,9 +219,9 @@ class Trainer:
         if pending is not None and self.logger is not None:
             step_idx, pm = pending
             self.logger.log_train(step_idx, {k: float(v) for k, v in pm.items()})
-        dt = max(self._train_time, 1e-9)
+        throughput.stop()
         return {"iterations": self._iteration, "train_time": self._train_time,
-                "steps_per_sec": n_this_fit / dt}
+                **throughput.summary()}
 
     def validate(self) -> dict:
         sums: dict = {}
