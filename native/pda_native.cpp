@@ -1,0 +1,176 @@
+// pda_native: native host-side data-path kernels for the patch pipeline.
+//
+// The TPU compute path is JAX/XLA/Pallas; this library is the native runtime
+// around it: the per-sample host work (random crop, standardize, gaussian
+// blur, additive noise, contrast) that feeds the device. Called from Python
+// via ctypes (pda/data/native.py); every entry point releases the GIL by
+// construction (plain C ABI), so the thread-pool loader scales across cores.
+//
+// Replaces the role of the reference's torch/numpy per-sample transforms
+// (torch_em transform.raw, SURVEY.md section 2.9) on the host side.
+//
+// Build: g++ -O3 -march=native -shared -fPIC pda_native.cpp -o libpda_native.so
+
+#include <cmath>
+#include <cstdint>
+#include <cstring>
+
+extern "C" {
+
+// ---------------------------------------------------------------------------
+// RNG: splitmix64 + Box-Muller normals (deterministic per seed)
+// ---------------------------------------------------------------------------
+
+static inline uint64_t splitmix64(uint64_t &state) {
+  uint64_t z = (state += 0x9E3779B97F4A7C15ULL);
+  z = (z ^ (z >> 30)) * 0xBF58476D1CE4E5B9ULL;
+  z = (z ^ (z >> 27)) * 0x94D049BB133111EBULL;
+  return z ^ (z >> 31);
+}
+
+static inline double uniform01(uint64_t &state) {
+  return (splitmix64(state) >> 11) * (1.0 / 9007199254740992.0);
+}
+
+// ---------------------------------------------------------------------------
+// standardize: x = (x - mean) / (std + eps), in place
+// ---------------------------------------------------------------------------
+
+void pda_standardize(float *data, int64_t n, float eps) {
+  double sum = 0.0;
+  for (int64_t i = 0; i < n; ++i) sum += data[i];
+  const double mean = sum / (double)n;
+  double var = 0.0;
+  for (int64_t i = 0; i < n; ++i) {
+    const double d = data[i] - mean;
+    var += d * d;
+  }
+  const double std = std::sqrt(var / (double)n);
+  const float inv = 1.0f / (float)(std + eps);
+  const float m = (float)mean;
+  for (int64_t i = 0; i < n; ++i) data[i] = (data[i] - m) * inv;
+}
+
+// ---------------------------------------------------------------------------
+// crop: copy a (h, w) window at (y0, x0) out of an (H, W) image
+// ---------------------------------------------------------------------------
+
+void pda_crop(const float *src, int64_t H, int64_t W, int64_t y0, int64_t x0,
+              int64_t h, int64_t w, float *dst) {
+  (void)H;
+  for (int64_t r = 0; r < h; ++r)
+    std::memcpy(dst + r * w, src + (y0 + r) * W + x0, (size_t)w * sizeof(float));
+}
+
+// ---------------------------------------------------------------------------
+// separable gaussian blur (reflect border), matches cv2.GaussianBlur(ksize=0)
+// kernel radius = ceil(4 * sigma) truncation like OpenCV's automatic size
+// ---------------------------------------------------------------------------
+
+static void blur_axis(const float *src, float *dst, int64_t h, int64_t w,
+                      const float *k, int radius, int axis) {
+  for (int64_t y = 0; y < h; ++y) {
+    for (int64_t x = 0; x < w; ++x) {
+      double acc = 0.0;
+      for (int t = -radius; t <= radius; ++t) {
+        int64_t yy = y, xx = x;
+        if (axis == 0) {
+          yy = y + t;
+          if (yy < 0) yy = -yy;                 // reflect101
+          if (yy >= h) yy = 2 * h - 2 - yy;
+        } else {
+          xx = x + t;
+          if (xx < 0) xx = -xx;
+          if (xx >= w) xx = 2 * w - 2 - xx;
+        }
+        acc += (double)k[t + radius] * src[yy * w + xx];
+      }
+      dst[y * w + x] = (float)acc;
+    }
+  }
+}
+
+void pda_gaussian_blur(const float *src, float *dst, int64_t h, int64_t w,
+                       float sigma, float *scratch) {
+  if (sigma <= 0.0f) {
+    std::memcpy(dst, src, (size_t)(h * w) * sizeof(float));
+    return;
+  }
+  int radius = (int)std::ceil(3.0f * sigma);
+  if (radius < 1) radius = 1;
+  if (radius > 64) radius = 64;
+  float kern[129];
+  double ksum = 0.0;
+  for (int t = -radius; t <= radius; ++t) {
+    const double v = std::exp(-0.5 * (double)t * t / ((double)sigma * sigma));
+    kern[t + radius] = (float)v;
+    ksum += v;
+  }
+  for (int t = 0; t <= 2 * radius; ++t) kern[t] = (float)(kern[t] / ksum);
+  blur_axis(src, scratch, h, w, kern, radius, 0);
+  blur_axis(scratch, dst, h, w, kern, radius, 1);
+}
+
+// ---------------------------------------------------------------------------
+// additive gaussian noise (Box-Muller), optional clip to [0, 1]
+// ---------------------------------------------------------------------------
+
+void pda_add_gaussian_noise(float *data, int64_t n, float std_, uint64_t seed,
+                            int clip) {
+  uint64_t st = seed ? seed : 1;
+  for (int64_t i = 0; i < n; i += 2) {
+    double u1 = uniform01(st);
+    double u2 = uniform01(st);
+    if (u1 < 1e-300) u1 = 1e-300;
+    const double r = std::sqrt(-2.0 * std::log(u1)) * (double)std_;
+    const double a = 6.283185307179586 * u2;
+    data[i] += (float)(r * std::cos(a));
+    if (i + 1 < n) data[i + 1] += (float)(r * std::sin(a));
+  }
+  if (clip) {
+    for (int64_t i = 0; i < n; ++i) {
+      if (data[i] < 0.0f) data[i] = 0.0f;
+      if (data[i] > 1.0f) data[i] = 1.0f;
+    }
+  }
+}
+
+// ---------------------------------------------------------------------------
+// contrast: x = mean + alpha * (x - mean)
+// ---------------------------------------------------------------------------
+
+void pda_random_contrast(float *data, int64_t n, float alpha) {
+  double sum = 0.0;
+  for (int64_t i = 0; i < n; ++i) sum += data[i];
+  const float mean = (float)(sum / (double)n);
+  for (int64_t i = 0; i < n; ++i) data[i] = mean + alpha * (data[i] - mean);
+}
+
+// ---------------------------------------------------------------------------
+// fused weak augmentation: standardize -> p-gated blur -> p-gated noise.
+// One call per sample replaces three Python-level transform dispatches
+// (reference weak-aug recipe, LIVECell/livecell_mt.py:16-26).
+// probabilities / parameter draws use the given seed, mirroring
+// RandomApply(p) + uniform sigma/std draws.
+// ---------------------------------------------------------------------------
+
+void pda_weak_augment(float *data, int64_t h, int64_t w, float p,
+                      float blur_sigma_lo, float blur_sigma_hi,
+                      float noise_lo, float noise_hi, uint64_t seed,
+                      float *scratch) {
+  pda_standardize(data, h * w, 1e-7f);
+  uint64_t st = seed ? seed : 1;
+  if (uniform01(st) < (double)p) {
+    const float sigma =
+        blur_sigma_lo + (float)uniform01(st) * (blur_sigma_hi - blur_sigma_lo);
+    pda_gaussian_blur(data, scratch, h, w, sigma, scratch + h * w);
+    std::memcpy(data, scratch, (size_t)(h * w) * sizeof(float));
+  }
+  if (uniform01(st) < (double)p) {
+    const float std_ =
+        noise_lo + (float)uniform01(st) * (noise_hi - noise_lo);
+    pda_add_gaussian_noise(data, h * w, std_, splitmix64(st), 0);
+  }
+}
+
+}  // extern "C"

@@ -149,6 +149,8 @@ def punet_pseudo_prediction(
     my_livecell.py:181-185). The consensus is binarized (unanimity) exactly as
     the reference does for the file-export path (:124).
     """
+    from ..utils import clean_folder
+
     os.makedirs(output_pred_path, exist_ok=True)
     key = jax.random.PRNGKey(seed)
     pattern = os.path.join(input_image_path, f"{cellname or ''}*.tif")
@@ -156,6 +158,9 @@ def punet_pseudo_prediction(
     dir2 = os.path.join(output_pred_path, "consensus", split_name or "", cellname or "")
     os.makedirs(dir1, exist_ok=True)
     os.makedirs(dir2, exist_ok=True)
+    # avoid stale exports from previous runs (reference punet_predictions.py:85)
+    clean_folder(dir1)
+    clean_folder(dir2)
 
     for img_path in sorted(glob(pattern)):
         img_name = os.path.basename(img_path)

@@ -22,6 +22,7 @@ from .engine import (
 )
 from .logging import TrainLogger, make_grid
 from .optim import ReduceLROnPlateau, adam
+from .profiling import Throughput, trace
 from .state import TrainState, create_train_state, punet_l2_reg
 
 __all__ = [
@@ -41,6 +42,8 @@ __all__ = [
     "ReduceLROnPlateau",
     "TrainLogger",
     "make_grid",
+    "Throughput",
+    "trace",
     "save_checkpoint",
     "load_checkpoint",
     "load_params",

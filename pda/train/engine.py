@@ -54,6 +54,9 @@ class Trainer:
 
     #: subclasses using an EMA teacher set this
     with_teacher = False
+    #: TB image-panel tags, positionally matching the train batch tuple
+    #: (reference loggers' image panels, SURVEY.md section 2.2)
+    image_tags: tuple = ()
 
     def __init__(
         self,
@@ -195,6 +198,16 @@ class Trainer:
                         scalars["learning_rate"] = self.state.learning_rate
                         self.logger.log_train(step_idx, scalars)
                     pending = (self._iteration, metrics)
+                    if (
+                        self.image_tags
+                        and self._iteration % self.logger.log_image_interval == 0
+                    ):
+                        images = {
+                            tag: np.asarray(batch[i][0])
+                            for i, tag in enumerate(self.image_tags)
+                            if i < len(batch)
+                        }
+                        self.logger.log_train(self._iteration, {}, images)
 
                 self._iteration += 1
                 if self._iteration >= iterations:
@@ -306,6 +319,8 @@ class UNetTrainer(Trainer):
     """Supervised UNet2d trainer (torch_em default_segmentation_trainer
     equivalent; reference usage LIVECell/livecell_unet.py:48-59)."""
 
+    image_tags = ("input", "target")
+
     def make_train_step(self):
         return steps_lib.make_supervised_unet_step(self.model, self.tx)
 
@@ -320,6 +335,8 @@ class UNetTrainer(Trainer):
 class PUNetTrainer(_PUNetInitMixin, Trainer):
     """Supervised source PUNet training (reference punet_trainer.py:13-97)."""
 
+    image_tags = ("input", "target")
+
     def make_train_step(self):
         return steps_lib.make_supervised_punet_step(self.model, self.tx)
 
@@ -330,6 +347,8 @@ class PUNetTrainer(_PUNetInitMixin, Trainer):
 class PseudoTrainer(Trainer):
     """UNet on fixed pseudo-labels + consensus masking
     (reference punet_target_trainer.py:12-67)."""
+
+    image_tags = ("input", "pseudo_labels", "consensus")
 
     def make_train_step(self):
         return steps_lib.make_pseudo_unet_step(self.model, self.tx)
@@ -346,6 +365,8 @@ class PseudoTrainerPUNet(_PUNetInitMixin, Trainer):
     """PUNet on precomputed pseudo-labels + consensus from disk
     (reference punet_target_trainer.py:92-183)."""
 
+    image_tags = ("input", "pseudo_labels", "consensus")
+
     def make_train_step(self):
         return steps_lib.make_pseudo_punet_step(self.model, self.tx)
 
@@ -357,6 +378,7 @@ class MeanTeacherTrainer(_PUNetInitMixin, Trainer):
     """Separate-training mean teacher (reference mean_teacher_trainer.py)."""
 
     with_teacher = True
+    image_tags = ("input", "aug_inputs_1", "aug_inputs_2", "ground_truth")
 
     def __init__(
         self,
@@ -397,6 +419,8 @@ class MeanTeacherTrainer(_PUNetInitMixin, Trainer):
 
 class FixMatchTrainer(_PUNetInitMixin, Trainer):
     """Separate-training FixMatch (reference fixmatch_trainer.py)."""
+
+    image_tags = ("input", "weak_aug", "strong_aug", "ground_truth")
 
     def __init__(
         self,
@@ -466,6 +490,8 @@ class AdaMTTrainer(_JointTrainer):
     """Joint mean teacher (reference adamt_trainer.py)."""
 
     with_teacher = True
+    image_tags = ("source_input", "source_labels", "target_input",
+                  "weak_aug", "strong_aug", "target_ground_truth")
 
     def __init__(self, *args, momentum: float = 0.999,
                  do_consensus_masking: bool = False, **kwargs):
@@ -489,6 +515,9 @@ class AdaMTTrainer(_JointTrainer):
 
 class AdaMatchTrainer(_JointTrainer):
     """Joint FixMatch-style training, no teacher (reference adamatch_trainer.py)."""
+
+    image_tags = ("source_input", "source_labels", "target_input",
+                  "weak_aug", "strong_aug", "target_ground_truth")
 
     def __init__(self, *args, do_consensus_masking: bool = False, **kwargs):
         super().__init__(*args, **kwargs)
