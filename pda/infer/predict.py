@@ -56,13 +56,24 @@ def _write_tiff(path: str, data: np.ndarray):
     imageio.imwrite(path, np.ascontiguousarray(data))
 
 
-@partial(jax.jit, static_argnames=("model", "n_samples", "block", "halo"))
-def _tiled_punet_probs(model, params, image, key, n_samples, block, halo):
-    """Full-frame mean MC probability map via the on-device tile pipeline."""
+@partial(jax.jit, static_argnames=("model", "n_samples", "block", "halo", "n_shards"))
+def _tiled_punet_probs(model, params, image, key, n_samples, block, halo,
+                       n_shards=1):
+    """Full-frame mean MC probability map via the on-device tile pipeline.
+
+    With ``n_shards > 1`` (under a mesh) the tile batch is padded to a
+    multiple of the device count so its leading axis shards evenly — the
+    spatial analog of context parallelism for this conv workload
+    (SURVEY.md section 5.7)."""
     tiles = tile_standardize(extract_tiles(image, block, halo))
+    n_tiles = tiles.shape[0]
+    pad = (-n_tiles) % n_shards
+    if pad:
+        tiles = jnp.concatenate([tiles, jnp.zeros((pad, *tiles.shape[1:]),
+                                                  tiles.dtype)], axis=0)
     enc = model.apply({"params": params}, tiles, method="encode")
     logits = mc_decode_logits(model, params, enc.features, enc.prior, key, n_samples)
-    probs = jnp.mean(jax.nn.sigmoid(logits), axis=0)
+    probs = jnp.mean(jax.nn.sigmoid(logits), axis=0)[:n_tiles]
     return stitch_tiles(probs, image.shape[:2], block, halo)
 
 
@@ -108,20 +119,30 @@ def punet_prediction(
     block_shape: Tuple[int, int] = BLOCK_SHAPE,
     halo: Tuple[int, int] = HALO,
     seed: int = 0,
+    mesh=None,
     verbose: bool = True,
 ):
     """Glob input images -> per image tiled MC-mean probability TIFF.
 
-    Reference: punet_prediction (punet_predictions.py:15-63).
+    Reference: punet_prediction (punet_predictions.py:15-63). Passing a
+    ``jax.sharding.Mesh`` shards the tile batch over its devices (spatially
+    parallel inference over ICI).
     """
     os.makedirs(output_pred_path, exist_ok=True)
+    n_shards = 1
+    if mesh is not None:
+        from ..parallel.mesh import replicated
+
+        n_shards = mesh.devices.size
+        params = jax.device_put(params, replicated(mesh))
     key = jax.random.PRNGKey(seed)
     for img_path in sorted(glob(input_image_path)):
         img_name = os.path.basename(img_path)
         img = _read_image(img_path)[..., None]
         key, sub = jax.random.split(key)
         pred = _tiled_punet_probs(
-            model, params, jnp.asarray(img), sub, prior_samples, block_shape, halo
+            model, params, jnp.asarray(img), sub, prior_samples, block_shape,
+            halo, n_shards,
         )
         out = os.path.join(output_pred_path, f"{img_name[:-4]}.tif")
         _write_tiff(out, np.asarray(pred)[..., 0].astype(np.float32))

@@ -114,3 +114,37 @@ class TestMeshEquivalence:
         # teacher stays replicated and finite
         t0 = jax.tree_util.tree_leaves(state.teacher_params)[0]
         assert bool(jnp.all(jnp.isfinite(t0)))
+
+
+class TestShardedInference:
+    def test_tiled_prediction_under_mesh(self, tmp_path):
+        """Mesh-sharded tile batch produces the same prediction files as
+        single-device (spatial 'tile axis' parallelism, SURVEY.md 5.7)."""
+        import os
+
+        import imageio.v3 as iio
+
+        from pda.infer import punet_prediction
+
+        rng = np.random.default_rng(0)
+        in_dir = tmp_path / "in"
+        os.makedirs(in_dir)
+        # 128x128 with 32-blocks -> 16 tiles: divides the 8-device mesh so no
+        # padding is needed and the latent draws are shape-identical.
+        iio.imwrite(in_dir / "a.tif", (rng.random((128, 128)) * 255).astype("uint8"))
+
+        model = _model()
+        x0 = jnp.zeros((1, 64, 64, 1))
+        params = model.init(jax.random.PRNGKey(0), x0, x0)["params"]
+
+        out1 = str(tmp_path / "p1")
+        punet_prediction(str(in_dir / "*.tif"), out1, model, params,
+                         prior_samples=2, block_shape=(32, 32), halo=(8, 8),
+                         verbose=False)
+        out8 = str(tmp_path / "p8")
+        punet_prediction(str(in_dir / "*.tif"), out8, model, params,
+                         prior_samples=2, block_shape=(32, 32), halo=(8, 8),
+                         mesh=get_mesh(8), verbose=False)
+        a = iio.imread(os.path.join(out1, "a.tif"))
+        b = iio.imread(os.path.join(out8, "a.tif"))
+        np.testing.assert_allclose(a, b, atol=1e-5)
