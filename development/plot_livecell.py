@@ -45,13 +45,12 @@ def main():
     from pda.core import consensus_from_logits
     from pda.experiments import livecell_punet
     from pda.infer.tiling import pad_to_divisible
-    from pda.models.punet import mc_decode_logits
+    from pda.models.punet import init_params_cpu, mc_decode_logits
     from pda.train import load_params
 
     model = livecell_punet()
-    with jax.default_device(jax.devices("cpu")[0]):
-        x0 = jnp.zeros((1, 64, 64, 1))
-        template = model.init(jax.random.PRNGKey(0), x0, x0)["params"]
+    x0 = jnp.zeros((1, 64, 64, 1))
+    template = init_params_cpu(model, x0, x0)
     params = load_params(args.checkpoint, template)
 
     img = np.asarray(imageio.imread(args.image)).astype(np.float32)

@@ -21,6 +21,7 @@ from pda.data.builders import CELL_TYPES, get_livecell_loader
 from pda.eval import run_dice_evaluation
 from pda.experiments import livecell_punet
 from pda.infer import punet_prediction
+from pda.models.punet import init_params_cpu
 from pda.train import (
     PUNetTrainer,
     ReduceLROnPlateau,
@@ -63,7 +64,7 @@ def _load_source_params(name, save_root, template):
 def do_punet_predictions(args):
     model = livecell_punet()
     x0 = jnp.zeros((1, 64, 64, 1))
-    template = model.init(jax.random.PRNGKey(0), x0, x0)["params"]
+    template = init_params_cpu(model, x0, x0)
     for ctype1 in CELL_TYPES:
         params = _load_source_params(
             f"punet-source-livecell-{ctype1}", args.save_root, template

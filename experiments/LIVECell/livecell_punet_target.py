@@ -22,6 +22,7 @@ from pda.data.builders import CELL_TYPES, get_my_livecell_loader
 from pda.eval import run_dice_evaluation
 from pda.experiments import livecell_punet
 from pda.infer import punet_prediction, punet_pseudo_prediction
+from pda.models.punet import init_params_cpu
 from pda.train import (
     PseudoTrainerPUNet,
     ReduceLROnPlateau,
@@ -34,7 +35,7 @@ from pda.train import (
 def _template():
     model = livecell_punet()
     x0 = jnp.zeros((1, 64, 64, 1))
-    return model, model.init(jax.random.PRNGKey(0), x0, x0)["params"]
+    return model, init_params_cpu(model, x0, x0)
 
 
 def do_punet_source_predictions(args):

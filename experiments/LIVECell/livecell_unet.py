@@ -20,6 +20,7 @@ from pda.data.builders import CELL_TYPES, get_livecell_loader
 from pda.eval import run_dice_evaluation
 from pda.infer import unet_prediction
 from pda.models import UNet2d
+from pda.models.punet import init_params_cpu
 from pda.train import UNetTrainer, checkpoint_dir, checkpoint_exists, load_params
 
 
@@ -56,7 +57,7 @@ def do_unet_predictions(args):
     model = make_model()
     import jax
 
-    template = model.init(jax.random.PRNGKey(0), jnp.zeros((1, 64, 64, 1)))["params"]
+    template = init_params_cpu(model, jnp.zeros((1, 64, 64, 1)))
     for ctype1 in CELL_TYPES:
         ckpt = checkpoint_dir(f"unet-source-livecell-{ctype1}", args.save_root)
         if not checkpoint_exists(ckpt):

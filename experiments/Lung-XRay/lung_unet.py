@@ -23,6 +23,7 @@ from pda.experiments.lung import (
 )
 from pda.infer import unet_prediction
 from pda.models import UNet2d
+from pda.models.punet import init_params_cpu
 from pda.train import UNetTrainer, checkpoint_dir, checkpoint_exists, load_params
 
 
@@ -50,7 +51,7 @@ def do_unet_training(args):
 
 def do_unet_predictions(args):
     model = make_model()
-    template = model.init(jax.random.PRNGKey(0), jnp.zeros((1, 64, 64, 1)))["params"]
+    template = init_params_cpu(model, jnp.zeros((1, 64, 64, 1)))
     for src in LUNG_DOMAINS:
         ckpt = checkpoint_dir(f"unet-source-lung-{src}", args.save_root)
         if not checkpoint_exists(ckpt):

@@ -21,6 +21,7 @@ import common  # experiments/MitoEM/common.py
 from pda.eval import run_dice_evaluation
 from pda.experiments import livecell_punet as mitoem_punet, standard_parser
 from pda.infer import punet_prediction
+from pda.models.punet import init_params_cpu
 from pda.train import (
     PUNetTrainer,
     ReduceLROnPlateau,
@@ -50,7 +51,7 @@ def do_punet_training(args):
 def do_punet_predictions(args, em_type: str):
     model = mitoem_punet()
     x0 = jnp.zeros((1, 64, 64, 1))
-    template = model.init(jax.random.PRNGKey(0), x0, x0)["params"]
+    template = init_params_cpu(model, x0, x0)
     ckpt = checkpoint_dir("punet-source-mitoem", args.save_root)
     if not checkpoint_exists(ckpt):
         print("The source model couldn't be found / hasn't been trained yet")

@@ -20,6 +20,7 @@ from pda.eval import run_dice_evaluation
 from pda.experiments import standard_parser
 from pda.infer import unet_prediction
 from pda.models import UNet2d
+from pda.models.punet import init_params_cpu
 from pda.train import UNetTrainer, checkpoint_dir, checkpoint_exists, load_params
 
 
@@ -48,7 +49,7 @@ def do_unet_training(args):
 
 def do_unet_predictions(args, em_type: str):
     model = make_model()
-    template = model.init(jax.random.PRNGKey(0), jnp.zeros((1, 64, 64, 1)))["params"]
+    template = init_params_cpu(model, jnp.zeros((1, 64, 64, 1)))
     ckpt = checkpoint_dir("unet-source-mitoem", args.save_root)
     if not checkpoint_exists(ckpt):
         print("The source model couldn't be found / hasn't been trained yet")

@@ -33,6 +33,7 @@ from ..data.builders import (
     get_livecell_loader,
 )
 from ..eval import run_dice_evaluation
+from ..models.punet import init_params_cpu
 from ..infer import punet_prediction
 from ..train import (
     AdaMatchTrainer,
@@ -169,7 +170,7 @@ def predict(args, method: str):
     use_teacher = method in ("mean-teacher", "adamt")
     model = livecell_punet()
     x0 = jnp.zeros((1, 64, 64, 1))
-    template = model.init(jax.random.PRNGKey(0), x0, x0)["params"]
+    template = init_params_cpu(model, x0, x0)
     for trg in CELL_TYPES:
         for src in CELL_TYPES:
             if src == trg:

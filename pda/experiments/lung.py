@@ -14,6 +14,7 @@ import jax
 import jax.numpy as jnp
 
 from ..data.builders import get_lung_loader
+from ..models.punet import init_params_cpu
 from ..eval import run_lung_dice_evaluation
 from ..infer import punet_prediction
 from ..train import (
@@ -65,7 +66,7 @@ def test_gt_dir(root: str, domain: str) -> str:
 def punet_template():
     model = lung_punet()
     x0 = jnp.zeros((1, 64, 64, 1))
-    return model, model.init(jax.random.PRNGKey(0), x0, x0)["params"]
+    return model, init_params_cpu(model, x0, x0)
 
 
 def da_train(args, method: str):

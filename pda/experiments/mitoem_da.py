@@ -20,6 +20,7 @@ import jax
 import jax.numpy as jnp
 
 from ..eval import run_dice_evaluation
+from ..models.punet import init_params_cpu
 from ..infer import punet_prediction
 from ..train import (
     AdaMatchTrainer,
@@ -130,7 +131,7 @@ def predict(args, method: str, common_mod):
     use_teacher = method in ("mean-teacher", "adamt")
     model = mitoem_punet()
     x0 = jnp.zeros((1, 64, 64, 1))
-    template = model.init(jax.random.PRNGKey(0), x0, x0)["params"]
+    template = init_params_cpu(model, x0, x0)
     for em_type in EM_TYPES:
         name = da_name(method, "mito", "mitoem", em_type, args.consensus, args.masking)
         ckpt = checkpoint_dir(name, args.save_root)

@@ -229,6 +229,19 @@ class ProbabilisticUnet(nn.Module):
 # ---------------------------------------------------------------------------
 
 
+def init_params_cpu(model, *example_inputs, seed: int = 0):
+    """Initialize parameters on the CPU backend.
+
+    The init program (orthogonal/QR initializers) compiles pathologically
+    slowly through the TPU remote-compile path, while forward/train programs
+    compile in seconds — so inits always run on CPU and the arrays are
+    transferred on first use. Use this anywhere a parameter template or fresh
+    params are needed outside the Trainer engine (which does the same).
+    """
+    with jax.default_device(jax.devices("cpu")[0]):
+        return model.init(jax.random.PRNGKey(seed), *example_inputs)["params"]
+
+
 def encode(model: ProbabilisticUnet, params, x, segm=None) -> PUNetEncoding:
     return model.apply({"params": params}, x, segm, method="encode")
 
