@@ -69,3 +69,20 @@ class TestMCConsensusKernel:
             y, z = mc_pseudo_fused(model, params, x, key, 8, True)
         np.testing.assert_allclose(y, ref_y, rtol=1e-5, atol=1e-5)
         np.testing.assert_allclose(z, ref_z, rtol=1e-5, atol=1e-5)
+
+
+class TestConvBlockKernel:
+    @pytest.mark.parametrize("shape", [(2, 32, 16, 4), (1, 64, 32, 8)])
+    def test_matches_flax_conv_block(self, shape):
+        from pda.kernels.conv_block import conv_block_fused, conv_block_weights
+        from pda.models.blocks import ConvBlock
+
+        b, h, w, cin = shape
+        block = ConvBlock(8, n_convs=3, pool=False)
+        x = jax.random.normal(jax.random.PRNGKey(0), shape)
+        params = block.init(jax.random.PRNGKey(1), x)["params"]
+        ref = block.apply({"params": params}, x)
+        out = conv_block_fused(
+            x, *conv_block_weights(params), row_tile=16, interpret=True
+        )
+        np.testing.assert_allclose(out, ref, rtol=1e-4, atol=1e-5)
