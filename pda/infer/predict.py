@@ -174,7 +174,13 @@ def punet_pseudo_prediction(
 
     os.makedirs(output_pred_path, exist_ok=True)
     key = jax.random.PRNGKey(seed)
-    pattern = os.path.join(input_image_path, f"{cellname or ''}*.tif")
+    # LIVECell stores images in per-cell-type subfolders; the reference's
+    # flat glob (punet_predictions.py:94) only matches the legacy layout.
+    # Support both.
+    if cellname and os.path.isdir(os.path.join(input_image_path, cellname)):
+        pattern = os.path.join(input_image_path, cellname, f"{cellname}*.tif")
+    else:
+        pattern = os.path.join(input_image_path, f"{cellname or ''}*.tif")
     dir1 = os.path.join(output_pred_path, "annotations", split_name or "", cellname or "")
     dir2 = os.path.join(output_pred_path, "consensus", split_name or "", cellname or "")
     os.makedirs(dir1, exist_ok=True)
