@@ -50,6 +50,21 @@ def _read_image(path: str) -> np.ndarray:
     return img
 
 
+def _glob_images(pattern: str):
+    """Glob input images, expanding any matched DIRECTORY to its images.
+
+    LIVECell-style layouts put images in per-cell-type subfolders, so a
+    pattern like ``.../livecell_test_images/BT474*`` matches the folder
+    itself; the reference's flat globs share this assumption."""
+    paths = []
+    for p in sorted(glob(pattern)):
+        if os.path.isdir(p):
+            paths.extend(sorted(glob(os.path.join(p, "*.tif"))))
+        else:
+            paths.append(p)
+    return paths
+
+
 def _write_tiff(path: str, data: np.ndarray):
     import imageio.v3 as imageio
 
@@ -136,7 +151,7 @@ def punet_prediction(
         n_shards = mesh.devices.size
         params = jax.device_put(params, replicated(mesh))
     key = jax.random.PRNGKey(seed)
-    for img_path in sorted(glob(input_image_path)):
+    for img_path in _glob_images(input_image_path):
         img_name = os.path.basename(img_path)
         img = _read_image(img_path)[..., None]
         key, sub = jax.random.split(key)
@@ -219,7 +234,7 @@ def unet_prediction(
     """Deterministic UNet inference, tiled or padded
     (reference unet_predictions.py:12-43)."""
     os.makedirs(output_path, exist_ok=True)
-    for img_path in sorted(glob(input_path)):
+    for img_path in _glob_images(input_path):
         img_name = os.path.basename(img_path)
         img = jnp.asarray(_read_image(img_path)[..., None])
         if tiling:
