@@ -21,7 +21,7 @@ from typing import Optional
 import jax
 import jax.numpy as jnp
 
-from .distributions import DiagGaussian, kl_divergence
+from .distributions import DiagGaussian, kl_divergence, mc_kl_divergence
 
 
 def bce_with_logits(logits: jax.Array, targets: jax.Array) -> jax.Array:
@@ -85,12 +85,17 @@ def neg_elbo(
     rl_swap: bool = True,
     consensus_mask: Optional[jax.Array] = None,
     consensus_masking: bool = False,
+    analytic_kl: bool = True,
+    z_posterior: Optional[jax.Array] = None,
 ):
     """Negative evidence lower bound, exactly as the reference computes it.
 
     reference: probabilistic_unet.py:341-371 —
       criterion = DiceLossWithLogits if rl_swap else BCEWithLogits(unreduced)
-      kl        = mean over batch of analytic KL(posterior || prior)
+      kl        = mean over batch of KL(posterior || prior): analytic, or the
+                  single-sample MC estimate log q(z) - log p(z) evaluated at
+                  the SAME posterior draw used for the reconstruction when
+                  ``analytic_kl=False`` (probabilistic_unet.py:324-339,352-354)
       recon     = sum(criterion(recon [* consm], segm [* consm]))
       elbo      = -(recon + beta * kl)   (this function returns -elbo)
 
@@ -100,7 +105,13 @@ def neg_elbo(
 
     Returns (neg_elbo, aux) where aux carries the recon/kl pieces for logging.
     """
-    kl = jnp.mean(kl_divergence(posterior, prior))
+    if analytic_kl:
+        kl = jnp.mean(kl_divergence(posterior, prior))
+    else:
+        if z_posterior is None:
+            raise ValueError("analytic_kl=False requires the posterior draw "
+                             "z_posterior that produced the reconstruction")
+        kl = jnp.mean(mc_kl_divergence(posterior, prior, z_posterior))
 
     if consensus_masking and consensus_mask is not None:
         rec_in = reconstruction_logits * consensus_mask

@@ -165,6 +165,9 @@ class ProbabilisticUnet(nn.Module):
     beta: float = 10.0
     consensus_masking: bool = False
     rl_swap: bool = False
+    #: analytic KL in the ELBO; False = single-posterior-sample MC estimate
+    #: (reference elbo(..., analytic_kl), probabilistic_unet.py:341-354)
+    analytic_kl: bool = True
     dtype: jnp.dtype = jnp.float32
 
     def setup(self):

@@ -237,15 +237,17 @@ class Trainer:
                 **throughput.summary()}
 
     def validate(self) -> dict:
+        # accumulate metric scalars ON DEVICE and fetch once at the end — a
+        # per-batch float() would force a host sync per validation step
         sums: dict = {}
         n = 0
         for batch in self.val_batches():
             batch = self._put(batch)
             self.state, metrics = self._val_step_jit(self.state, *batch)
             for k, v in metrics.items():
-                sums[k] = sums.get(k, 0.0) + float(v)
+                sums[k] = v if k not in sums else sums[k] + v
             n += 1
-        avg = {k: v / max(n, 1) for k, v in sums.items()}
+        avg = {k: float(v) / max(n, 1) for k, v in sums.items()}
         if "dice" in avg:
             print(f"The Average Dice Score for the Current Epoch is {avg['dice']}")
         if self.logger is not None:

@@ -67,6 +67,8 @@ def _punet_loss(model: ProbabilisticUnet, params, x, segm, key, consm=None):
         rl_swap=model.rl_swap,
         consensus_mask=consm,
         consensus_masking=model.consensus_masking,
+        analytic_kl=getattr(model, "analytic_kl", True),
+        z_posterior=z_post,
     )
     loss = nelbo + REG_WEIGHT * punet_l2_reg(params)
     return loss, aux

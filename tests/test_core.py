@@ -124,6 +124,26 @@ class TestLosses:
         # All-zero mask -> BCE(0 logits, 0 targets) = log(2) per pixel, summed.
         assert jnp.allclose(masked, 16 * jnp.log(2.0), rtol=1e-5)
 
+    def test_neg_elbo_mc_kl(self):
+        # analytic_kl=False uses the single-sample MC estimate at the SAME
+        # posterior draw as the reconstruction (reference
+        # probabilistic_unet.py:341-354); in expectation over draws it matches
+        # the analytic KL.
+        b = 512
+        logits = jnp.zeros((b, 2, 2, 1))
+        segm = jnp.zeros((b, 2, 2, 1))
+        q = DiagGaussian(jnp.full((b, 3), 0.7), jnp.full((b, 3), -0.2))
+        p = DiagGaussian(jnp.zeros((b, 3)), jnp.zeros((b, 3)))
+        zs = q.sample(jax.random.PRNGKey(0))
+        mc, aux = neg_elbo(
+            logits, segm, q, p, beta=1.0, rl_swap=False,
+            analytic_kl=False, z_posterior=zs,
+        )
+        analytic, aux_a = neg_elbo(logits, segm, q, p, beta=1.0, rl_swap=False)
+        assert jnp.allclose(aux["kl"], aux_a["kl"], atol=0.05)
+        with pytest.raises(ValueError):
+            neg_elbo(logits, segm, q, p, analytic_kl=False)
+
 
 class TestConsensus:
     def test_consensus_algebra(self):
