@@ -224,6 +224,12 @@ def get_uro_cell_loader(
     passed directly (each an h5 with raw + labels/mito)."""
     if volume_paths is None:
         volume_paths = sorted(glob(os.path.join(path, "urocell", "*.h5")))
+        if not volume_paths and download:
+            from .prepare import get_uro_cell_paths
+
+            volume_paths = get_uro_cell_paths(
+                os.path.join(path, "urocell"), download=True
+            )
     assert volume_paths, f"no UroCell volumes under {path}"
     paths = sorted(volume_paths)[:-1]
     if split == "train":
@@ -282,11 +288,17 @@ def get_mitoem_loader(
     for sample in samples:
         p = os.path.join(path, f"{sample}_{split}.h5")
         if not os.path.exists(p):
-            raise RuntimeError(
-                f"MitoEM volume {p} missing. Download {MITOEM_URLS.get(sample)} "
-                f"and convert to h5 with datasets 'raw' and 'labels' "
-                f"(the reference relies on torch_em's converter)."
-            )
+            if download:
+                from .prepare import prepare_mitoem_sample
+
+                prepare_mitoem_sample(path, sample, download=True)
+            else:
+                raise RuntimeError(
+                    f"MitoEM volume {p} missing. Pass download=True (fetches "
+                    f"{MITOEM_URLS.get(sample)} and converts to h5, like "
+                    f"torch_em's get_mitoem_loader) or place the h5 there "
+                    f"with datasets 'raw' and 'labels'."
+                )
         volume_paths.append(p)
 
     from ..datasets import ConcatDataset

@@ -175,19 +175,72 @@ def get_raw_transform(
 # ---------------------------------------------------------------------------
 
 
-def get_augmentations(ndim: int = 2, p_flip: float = 0.5) -> Callable:
-    """Joint random flips + 90-degree rotations for (raw, label[, mask]) tuples.
+class JointAugmentations:
+    """Joint random flips + 90-degree rotations + elastic deformation for
+    (raw, label[, mask]) tuples — the same spatial transform applied to every
+    array of the tuple. Picklable (worker handoff) and driven by an explicit
+    numpy Generator for determinism.
 
     Equivalent in role to torch_em ``transform.get_augmentations(ndim=2)``
-    (reference my_livecell.py:146, my_segmentation_datasets.py:352-355):
-    the same spatial transform is applied to every array of the tuple.
+    (reference my_livecell.py:146, my_segmentation_datasets.py:352-355),
+    whose default recipe includes random elastic warps. The displacement
+    field is gaussian-smoothed noise; raw channels warp bilinearly, every
+    non-first array (labels, consensus masks) warps with nearest-neighbor so
+    binary maps stay binary.
     """
-    assert ndim == 2, "only 2D supported"
 
-    def augment(arrays: Sequence[np.ndarray], rng: np.random.Generator):
+    def __init__(
+        self,
+        ndim: int = 2,
+        p_flip: float = 0.5,
+        p_elastic: float = 0.25,
+        alpha: float = 8.0,
+        sigma: float = 16.0,
+    ):
+        assert ndim == 2, "only 2D supported"
+        self.p_flip = p_flip
+        self.p_elastic = p_elastic
+        self.alpha = alpha
+        self.sigma = sigma
+
+    def _elastic(self, arrays, rng: np.random.Generator):
+        from scipy.ndimage import gaussian_filter, map_coordinates
+
+        h, w = arrays[0].shape[:2]
+        dy = gaussian_filter(
+            rng.standard_normal((h, w)), self.sigma, mode="reflect"
+        )
+        dx = gaussian_filter(
+            rng.standard_normal((h, w)), self.sigma, mode="reflect"
+        )
+        # normalize the smoothed field so alpha is the max displacement in px
+        norm = max(np.abs(dy).max(), np.abs(dx).max(), 1e-8)
+        dy = dy * (self.alpha / norm)
+        dx = dx * (self.alpha / norm)
+        yy, xx = np.meshgrid(np.arange(h), np.arange(w), indexing="ij")
+        coords = np.stack([yy + dy, xx + dx])
+
+        out = []
+        for i, a in enumerate(arrays):
+            order = 1 if i == 0 else 0  # raw bilinear, labels/masks nearest
+            if a.ndim == 2:
+                warped = map_coordinates(a, coords, order=order, mode="reflect")
+            else:
+                warped = np.stack(
+                    [
+                        map_coordinates(a[..., c], coords, order=order, mode="reflect")
+                        for c in range(a.shape[-1])
+                    ],
+                    axis=-1,
+                )
+            out.append(warped.astype(a.dtype, copy=False))
+        return out
+
+    def __call__(self, arrays: Sequence[np.ndarray], rng: np.random.Generator):
         k = int(rng.integers(0, 4))
-        flip_h = rng.random() < p_flip
-        flip_v = rng.random() < p_flip
+        flip_h = rng.random() < self.p_flip
+        flip_v = rng.random() < self.p_flip
+        do_elastic = self.p_elastic > 0 and rng.random() < self.p_elastic
 
         out = []
         for a in arrays:
@@ -198,9 +251,17 @@ def get_augmentations(ndim: int = 2, p_flip: float = 0.5) -> Callable:
             if flip_v:
                 a = a[::-1, :]
             out.append(np.ascontiguousarray(a))
+        if do_elastic:
+            out = self._elastic(out, rng)
         return tuple(out)
 
-    return augment
+
+def get_augmentations(
+    ndim: int = 2, p_flip: float = 0.5, p_elastic: float = 0.25
+) -> Callable:
+    """torch_em ``transform.get_augmentations(ndim=2)`` equivalent — see
+    :class:`JointAugmentations`."""
+    return JointAugmentations(ndim=ndim, p_flip=p_flip, p_elastic=p_elastic)
 
 
 # ---------------------------------------------------------------------------

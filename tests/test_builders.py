@@ -165,6 +165,111 @@ class TestEMBuilders:
         assert set(np.unique(y)).issubset({0.0, 1.0})
 
 
+def _write_nifti_gz(path, vol: np.ndarray):
+    """Minimal NIfTI-1 writer for fixtures (header: dims, datatype, offset)."""
+    import gzip
+    import struct
+
+    dtype_codes = {np.uint8: 2, np.int16: 4, np.float32: 16}
+    code = dtype_codes[vol.dtype.type]
+    header = bytearray(348)
+    struct.pack_into("<i", header, 0, 348)
+    dims = [vol.ndim] + list(vol.shape[::-1]) + [1] * (7 - vol.ndim)
+    struct.pack_into("<8h", header, 40, *dims)
+    struct.pack_into("<h", header, 70, code)
+    struct.pack_into("<h", header, 72, vol.dtype.itemsize * 8)
+    struct.pack_into("<f", header, 108, 352.0)
+    with gzip.open(path, "wb") as f:
+        f.write(bytes(header))
+        f.write(b"\x00" * 4)  # extension bytes up to vox_offset
+        # file order is x-fastest: write the (z,y,x) volume transposed
+        f.write(np.ascontiguousarray(vol).tobytes())
+
+
+class TestAcquisition:
+    def test_nifti_reader_roundtrip(self, tmp_path):
+        from pda.data.builders.prepare import read_nifti
+
+        vol = np.arange(2 * 3 * 4, dtype=np.float32).reshape(2, 3, 4)
+        p = tmp_path / "vol.nii.gz"
+        _write_nifti_gz(str(p), vol)
+        out = read_nifti(str(p))
+        np.testing.assert_array_equal(out, vol)
+
+    def test_urocell_conversion_and_loader(self, tmp_path):
+        from pda.data.builders.em import get_uro_cell_loader
+        from pda.data.builders.prepare import get_uro_cell_paths
+
+        root = tmp_path / "urocell" / "UroCell-master"
+        (root / "data").mkdir(parents=True)
+        (root / "mito").mkdir()
+        rng = np.random.default_rng(0)
+        for name in ("fib1-0-0-0", "fib1-1-0-3", "fib1-3-2-1"):
+            vol = rng.random((4, 40, 40)).astype(np.float32)
+            lab = (vol > 0.6).astype(np.uint8)
+            _write_nifti_gz(str(root / "data" / f"{name}.nii.gz"), vol)
+            _write_nifti_gz(str(root / "mito" / f"{name}.nii.gz"), lab)
+        # an unlabeled volume must be skipped (torch_em parity)
+        _write_nifti_gz(
+            str(root / "data" / "fib1-9-9-9.nii.gz"),
+            rng.random((4, 40, 40)).astype(np.float32),
+        )
+
+        paths = get_uro_cell_paths(str(tmp_path / "urocell"), download=False)
+        assert len(paths) == 3
+        import h5py
+
+        with h5py.File(paths[0], "r") as f:
+            assert f["raw"].shape == (4, 40, 40)
+            assert set(np.unique(f["labels/mito"][:])) <= {0, 1}
+
+        loader = get_uro_cell_loader(
+            str(tmp_path), "train", patch_shape=(1, 32, 32), batch_size=2,
+        )
+        batch = next(iter(loader))
+        assert batch[0].shape == (2, 32, 32, 1)
+
+    def test_mitoem_conversion_and_loader(self, tmp_path):
+        import imageio.v2 as imageio
+
+        from pda.data.builders.em import get_mitoem_loader
+        from pda.data.builders.prepare import prepare_mitoem_sample
+
+        # fake pre-extracted MitoEM sample: im/ + mito-train-v2/ + mito-val-v2/
+        root = tmp_path / "human_raw"
+        (root / "im").mkdir(parents=True)
+        (root / "mito-train-v2").mkdir()
+        (root / "mito-val-v2").mkdir()
+        rng = np.random.default_rng(1)
+        n_train, n_val = 5, 2
+        for i in range(n_train + n_val):
+            img = (rng.random((48, 48)) * 255).astype(np.uint8)
+            imageio.imwrite(str(root / "im" / f"im{i:04d}.png"), img)
+        for i in range(n_train):
+            seg = rng.integers(0, 3, (48, 48)).astype(np.uint16)
+            imageio.imwrite(str(root / "mito-train-v2" / f"seg{i:04d}.tif"), seg)
+        for i in range(n_val):
+            seg = rng.integers(0, 3, (48, 48)).astype(np.uint16)
+            imageio.imwrite(str(root / "mito-val-v2" / f"seg{i:04d}.tif"), seg)
+
+        train_h5, val_h5 = prepare_mitoem_sample(str(tmp_path), "human")
+        import h5py
+
+        with h5py.File(train_h5, "r") as f:
+            assert f["raw"].shape == (n_train, 48, 48)
+            assert f["labels"].shape == (n_train, 48, 48)
+        with h5py.File(val_h5, "r") as f:
+            assert f["raw"].shape == (n_val, 48, 48)
+
+        loader = get_mitoem_loader(
+            str(tmp_path), "train", (1, 32, 32), 2,
+            samples=("human",), binary=True,
+        )
+        x, y = next(iter(loader))
+        assert x.shape == (2, 32, 32, 1)
+        assert set(np.unique(y)) <= {0.0, 1.0}
+
+
 class TestClassDistribution:
     def test_compute_class_distribution(self, tmp_path):
         import imageio.v3 as iio

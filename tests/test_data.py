@@ -67,6 +67,25 @@ class TestTransforms:
         out_raw, out_lab = aug([raw, raw.copy()], np.random.default_rng(3))
         np.testing.assert_array_equal(out_raw, out_lab)
 
+    def test_elastic_deformation_deterministic_and_joint(self, rng):
+        # elastic on by default (p=0.25, torch_em get_augmentations parity);
+        # same seed -> same warp; labels stay binary (nearest interpolation)
+        from pda.data.transforms import JointAugmentations
+
+        aug = JointAugmentations(p_flip=0.0, p_elastic=1.0)
+        raw = np.random.default_rng(3).random((48, 48)).astype(np.float32)
+        lab = (raw > 0.5).astype(np.float32)
+        r1, l1 = aug([raw, lab], np.random.default_rng(7))
+        r2, l2 = aug([raw, lab], np.random.default_rng(7))
+        np.testing.assert_array_equal(r1, r2)
+        np.testing.assert_array_equal(l1, l2)
+        assert not np.allclose(r1, raw)  # it actually warped
+        assert set(np.unique(l1)).issubset({0.0, 1.0})  # binary stays binary
+        # picklable for worker handoff
+        import pickle
+
+        pickle.loads(pickle.dumps(aug))
+
     def test_labels_to_binary(self):
         lab = np.array([[0, 1], [2, 0]])
         np.testing.assert_array_equal(labels_to_binary(lab), [[0, 1], [1, 0]])
@@ -178,6 +197,37 @@ class TestDatasets:
             patch_shape=(32, 32), roi=slice(0, 3),
         )
         assert len(ds) == 3
+
+    def test_segmentation_dataset_lazy_windows(self, tmp_path, monkeypatch):
+        # Volumes above EAGER_LIMIT_BYTES stream crops through windowed H5
+        # reads instead of materializing in RAM (the reference reads lazily
+        # through elf, my_segmentation_datasets.py:56-70). Force the limit to
+        # 0 so a small volume exercises the lazy path end-to-end.
+        import pickle
+
+        import h5py
+
+        from pda.data.datasets import LazyH5Volume
+
+        vol = np.random.default_rng(1).random((6, 64, 64)).astype(np.float32)
+        p = tmp_path / "big.h5"
+        with h5py.File(p, "w") as f:
+            f.create_dataset("raw", data=vol, chunks=(1, 64, 64), compression="gzip")
+            f.create_dataset("labels", data=(vol > 0.5).astype("float32"))
+        monkeypatch.setattr(SegmentationDataset, "EAGER_LIMIT_BYTES", 0)
+        ds = SegmentationDataset(
+            str(p), str(p), raw_key="raw", label_key="labels",
+            patch_shape=(32, 32), roi=slice(1, 5),
+        )
+        assert isinstance(ds.raw, LazyH5Volume)
+        assert ds.raw.shape == (4, 64, 64) and len(ds) == 4
+        np.testing.assert_allclose(ds.raw[2], vol[3])  # roi offset applied
+        x, y = ds[0]
+        assert x.shape == (32, 32, 1) and y.shape == (32, 32, 1)
+        # pickle round-trip (worker handoff) reopens the file on demand
+        ds2 = pickle.loads(pickle.dumps(ds))
+        x2, y2 = ds2[0]
+        np.testing.assert_allclose(x2, x)
 
 
 class TestLoader:
