@@ -93,6 +93,12 @@ class Loader:
                 yield self._stack([self._fetch(epoch, i) for i in rows])
             return
 
+        # keep enough batches in flight that every worker has a sample queued
+        # (a fixed prefetch of 2 starves >4 workers at small batch sizes)
+        depth = max(
+            self.prefetch + 1,
+            (2 * self.num_workers + self.batch_size - 1) // self.batch_size,
+        )
         with cf.ThreadPoolExecutor(max_workers=self.num_workers) as pool:
             pending = []
             next_b = 0
@@ -101,7 +107,7 @@ class Loader:
                 rows = batch_slice(b)
                 return [pool.submit(self._fetch, epoch, i) for i in rows]
 
-            while next_b < n_batches and len(pending) < self.prefetch + 1:
+            while next_b < n_batches and len(pending) < depth:
                 pending.append(submit_batch(next_b))
                 next_b += 1
             while pending:

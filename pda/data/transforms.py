@@ -203,16 +203,40 @@ class JointAugmentations:
         self.alpha = alpha
         self.sigma = sigma
 
+    def _field(self, h: int, w: int, rng: np.random.Generator) -> np.ndarray:
+        """Smooth displacement field: coarse noise bilinearly upsampled.
+
+        Equivalent smoothness to gaussian-filtering full-res noise with
+        ``sigma``, at a fraction of the host cost (the loader threads run
+        this per sample): noise on a grid of spacing ~sigma interpolates to a
+        field whose features have wavelength >= sigma."""
+        step = max(int(self.sigma), 2)
+        gh, gw = h // step + 3, w // step + 3
+        coarse = rng.standard_normal((gh, gw)).astype(np.float32)
+        # bilinear upsample coarse -> (h, w)
+        ys = np.linspace(0, gh - 1.001, h, dtype=np.float32)
+        xs = np.linspace(0, gw - 1.001, w, dtype=np.float32)
+        y0 = ys.astype(np.int32)
+        x0 = xs.astype(np.int32)
+        fy = (ys - y0)[:, None]
+        fx = (xs - x0)[None, :]
+        c00 = coarse[y0][:, x0]
+        c01 = coarse[y0][:, x0 + 1]
+        c10 = coarse[y0 + 1][:, x0]
+        c11 = coarse[y0 + 1][:, x0 + 1]
+        return (
+            c00 * (1 - fy) * (1 - fx)
+            + c01 * (1 - fy) * fx
+            + c10 * fy * (1 - fx)
+            + c11 * fy * fx
+        )
+
     def _elastic(self, arrays, rng: np.random.Generator):
-        from scipy.ndimage import gaussian_filter, map_coordinates
+        from scipy.ndimage import map_coordinates
 
         h, w = arrays[0].shape[:2]
-        dy = gaussian_filter(
-            rng.standard_normal((h, w)), self.sigma, mode="reflect"
-        )
-        dx = gaussian_filter(
-            rng.standard_normal((h, w)), self.sigma, mode="reflect"
-        )
+        dy = self._field(h, w, rng)
+        dx = self._field(h, w, rng)
         # normalize the smoothed field so alpha is the max displacement in px
         norm = max(np.abs(dy).max(), np.abs(dx).max(), 1e-8)
         dy = dy * (self.alpha / norm)

@@ -12,6 +12,7 @@ precedence over weighting, which matches the intent and the trainer wiring.
 from __future__ import annotations
 
 import argparse
+import os
 
 from ..data.transforms import (
     AdditiveGaussianNoise,
@@ -27,7 +28,19 @@ from ..models import ProbabilisticUnet
 def weak_augmentations(p: float = 0.25):
     """Weak augs: standardize + p-gated {blur, noise(0-0.15)}
     (reference LIVECell/livecell_mt.py:16-26, MitoEM/common.py:51-58,
-    Lung-XRay/lung_mt.py:16-26)."""
+    Lung-XRay/lung_mt.py:16-26).
+
+    When the native host library is available (pda.data.native, built from
+    native/pda_native.cpp) the whole recipe runs as ONE GIL-releasing C call
+    per sample so the thread-pool loader scales across cores and keeps the
+    chips fed (SURVEY.md section 7 "Two-view CPU augmentation throughput");
+    the numpy Compose below is the reference implementation and fallback.
+    Set PDA_NATIVE_AUGS=0 to force the numpy path.
+    """
+    from ..data import native
+
+    if os.environ.get("PDA_NATIVE_AUGS", "1") != "0" and native.available():
+        return native.NativeWeakAugmentation(p=p)
     return Compose(
         standardize,
         RandomApply([GaussianBlur()], p=p),
