@@ -35,10 +35,11 @@ def extract_tiles(
     """(H, W, C) -> (n_tiles, block+2*halo ..., C) overlapping tile batch.
 
     The image is reflect-padded to a whole number of blocks plus the halo
-    margin; tiles are gathered with static slices (unrolled — tile counts are
-    tiny for microscopy frames, e.g. 2x2 for LIVECell 520x704).
+    margin; tiles are gathered by ONE vmapped dynamic slice over the tile-origin
+    grid, so the program (and its compile time) is constant in the number of
+    tiles — a 16x16-grid EM frame compiles as fast as LIVECell's 2x2.
     """
-    h, w, _ = image.shape
+    h, w, c = image.shape
     bh, bw = block
     hh, hw = halo
     gy, gx = grid_shape((h, w), block)
@@ -49,17 +50,18 @@ def extract_tiles(
         ((hh, pad_h + hh), (hw, pad_w + hw), (0, 0)),
         mode="reflect",
     )
-    tiles = []
-    for i in range(gy):
-        for j in range(gx):
-            tiles.append(
-                jax.lax.dynamic_slice(
-                    padded,
-                    (i * bh, j * bw, 0),
-                    (bh + 2 * hh, bw + 2 * hw, image.shape[-1]),
-                )
-            )
-    return jnp.stack(tiles, axis=0)
+    ys = jnp.arange(gy, dtype=jnp.int32) * bh
+    xs = jnp.arange(gx, dtype=jnp.int32) * bw
+    origins = jnp.stack(
+        [jnp.repeat(ys, gx), jnp.tile(xs, gy)], axis=-1
+    )  # (gy*gx, 2), row-major to match stitch_tiles
+
+    def _one(origin):
+        return jax.lax.dynamic_slice(
+            padded, (origin[0], origin[1], 0), (bh + 2 * hh, bw + 2 * hw, c)
+        )
+
+    return jax.vmap(_one)(origins)
 
 
 def stitch_tiles(
