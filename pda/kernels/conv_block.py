@@ -2,55 +2,52 @@
 
 The PUNet's universal building block (pda.models.blocks.ConvBlock; reference
 unet_blocks.py DownConvBlock / Encoder blocks, probabilistic_unet.py:44-63)
-executed as ONE kernel: a row band of the input is DMA'd into VMEM once and
-all three convolutions run over it, so the two intermediate activation maps
-never touch HBM and the ReLUs are free VPU ops on resident registers. XLA
-lowers the same block as three standalone convolutions with relayout copies
-and unfused ReLU passes between them (measured: ~26% of the 512^2 MT train
-step was standalone `max` ops and ~15% pure layout copies).
+executed as ONE kernel: a row band of the input is resident in VMEM while all
+three convolutions run, so the two intermediate activation maps never touch
+HBM and the ReLUs are free VPU ops. XLA lowers the same block as three
+standalone convolutions with relayout copies and unfused ReLU passes between
+them (measured: ~26% of the 512^2 MT train step was standalone `max` ops and
+~15% pure layout copies).
 
 Formulation (chosen for Mosaic's lowering rules, all operands strictly 2D):
 
-  * The (H, W, C) image is zero-ring-padded into a (H+6, Wp) canvas (Wp =
-    W+6 rounded up to the sublane tile) and flattened row-major to
-    ((H+6)*Wp, C); overlapping row bands of rt+6 rows are materialized once
-    outside the kernel (one extra ~(1+6/rt)x pass over the input).
+  * The (H, W, C) image sits in a zero-ring canvas (margin 4, Wp = W+8
+    rounded to the sublane tile) flattened row-major to ((H+8)*Wp, C).
+  * Each grid step sees its overlapping band through TWO views of the SAME
+    canvas: a non-overlapping core block (rt rows) and an 8-row halo block
+    whose index map lands exactly on the next core's start (legal because
+    rt % 8 == 0) — overlap therefore never costs extra HBM traffic, unlike
+    materializing overlapping bands host-side.
   * Row (dy) shifts are slices at dy*Wp — sublane-ALIGNED because Wp is a
-    multiple of 16 — so the three dy views lane-concatenate into a
-    (L, 3*Cin) matrix G. Mosaic rejects concats of mismatched-offset slices;
-    aligned starts keep the offsets equal.
-  * Column (dx) shifts become *one* unaligned slice of the concatenated
-    value: tap (dy, dx) of position p is G[p + dx, dy*Cin:(dy+1)*Cin]. Each
-    layer is 3 MXU contractions (L, 3*Cin) @ (3*Cin, Cout) — K = 3*Cin
-    instead of Cin, which matters at the 64-channel levels.
+    multiple of 16. Each layer runs the "nocat" stencil: one MXU contraction
+    (L, Cin) @ (Cin, 3*Cout) per dy, then the three dx taps fall out as
+    shifted adds of the result's lane blocks (measured fastest of the
+    Mosaic-legal formulations on v5e: 47 TFLOP/s at 512^2/64ch, above XLA's
+    in-program conv throughput).
   * Layer l's buffer stores values shifted l flat elements left; with that
-    convention every layer's slice starts are dy*Wp + dx >= 0 and the final
-    3-element shift is undone by the caller with one pad+slice.
-  * Flat-index wraparound (col j+1 of the row's last column reads the next
-    row's first column) always lands in the zero ring, and ring/out-of-image
+    convention every slice start is >= 0. The final shift is undone by the
+    caller with one pad+slice.
+  * Flat-index wraparound lands in the zero ring, and ring/out-of-image
     garbage (relu(bias) != 0) is re-zeroed per layer by an iota mask — the
     same invariant SAME zero padding provides between XLA convs.
 
-Gradient-free use (teacher MC sampling / inference / pseudo-labeling): the
-training path keeps XLA's autodiff convs unless the custom-VJP wrapper in
-pda.kernels.conv_block_vjp is enabled.
+The matching fused backward lives in pda.kernels.conv_block_bwd and shares
+the canvas geometry, so the forward's input canvas is reused as a residual.
 """
 
 from __future__ import annotations
 
 import functools
-from typing import Tuple
 
 import jax
 import jax.numpy as jnp
-import numpy as np
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
-MARGIN = 3  # zero ring width: halo of three chained 3x3 convs
-TAIL = 24  # zero headroom appended to each band (dx-slice overrun budget)
-#: per-layer output tail lengths: layer l's output carries TAILS[l] extra flat
-#: elements so layer l+1's dy/dx slices stay in bounds (each layer consumes 2)
+MARGIN = 4  # zero-ring width (>= 3-conv halo; 4 keeps halo blocks 8-aligned)
+HALO_ROWS = 8
+PAD_TAIL = 32  # in-kernel zero tail: dx-slice overrun budget
+#: per-layer output tail lengths (each consumer needs producer tail - 2)
 TAILS = (16, 8, 0)
 
 
@@ -58,39 +55,77 @@ def _round16(n: int) -> int:
     return ((n + 15) // 16) * 16
 
 
+def canvas_wp(w: int) -> int:
+    return _round16(w + 2 * MARGIN)
+
+
+def canvas_flat(x: jax.Array, wp: int) -> jax.Array:
+    """(B, H, W, C) -> (B, (H+2*MARGIN)*wp, C) zero-ring flat canvas."""
+    b, h, w, c = x.shape
+    canvas = jnp.zeros((b, h + 2 * MARGIN, wp, c), x.dtype)
+    canvas = jax.lax.dynamic_update_slice(canvas, x, (0, MARGIN, MARGIN, 0))
+    return canvas.reshape(b, (h + 2 * MARGIN) * wp, c)
+
+
+def band_views(rt: int, wp: int, channels: int):
+    """(core, halo) BlockSpecs exposing overlapping rt+8 row bands of a flat
+    canvas without duplicated HBM traffic. Requires rt % 8 == 0."""
+    assert rt % HALO_ROWS == 0, rt
+    core = pl.BlockSpec(
+        (1, rt * wp, channels), lambda i, n: (i, n, 0),
+        memory_space=pltpu.VMEM,
+    )
+    ratio = rt // HALO_ROWS
+    halo = pl.BlockSpec(
+        (1, HALO_ROWS * wp, channels), lambda i, n: (i, (n + 1) * ratio, 0),
+        memory_space=pltpu.VMEM,
+    )
+    return core, halo
+
+
+def assemble_band(core_ref, halo_ref, dtype):
+    """core + halo + zero tail -> the (rt+8)*wp + PAD_TAIL flat band value."""
+    zeros = jnp.zeros((PAD_TAIL, core_ref.shape[-1]), dtype)
+    return jnp.concatenate([core_ref[0], halo_ref[0], zeros], axis=0)
+
+
 def _regroup(w: jax.Array) -> jax.Array:
-    """(3, 3, Cin, Cout) HWIO -> (3_dx, 3*Cin, Cout), rows ordered (dy, cin)
-    to match the dy-major lane concat of the input views."""
-    return jnp.transpose(w, (1, 0, 2, 3)).reshape(3, 3 * w.shape[2], w.shape[3])
+    """(3, 3, Cin, Cout) HWIO -> (3_dy, Cin, 3_dx*Cout) for the nocat stencil."""
+    return jnp.transpose(w, (0, 2, 1, 3)).reshape(3, w.shape[2], 3 * w.shape[3])
 
 
 def _kernel(
-    x_ref, w1_ref, b1_ref, w2_ref, b2_ref, w3_ref, b3_ref, o_ref,
+    xc_ref, xh_ref, w1_ref, b1_ref, w2_ref, b2_ref, w3_ref, b3_ref, o_ref,
     *, rt: int, wp: int, h_img: int, w_img: int, dtype,
 ):
     n = pl.program_id(1)  # band index within the image
 
     def layer(h, w_ref, b_ref, l_out: int, tail: int, shift: int, mask: bool):
         n_out = l_out + tail
-        # dy views, Wp-aligned starts -> lane concat is legal
-        g = jnp.concatenate(
-            [h[dy * wp : dy * wp + n_out + 2, :] for dy in range(3)], axis=1
-        )
-        acc = jnp.zeros((n_out, w_ref.shape[2]), jnp.float32)
-        for dx in range(3):
-            acc = acc + jax.lax.dot_general(
-                g[dx : dx + n_out, :],
-                w_ref[dx],
-                (((1,), (0,)), ((), ())),
-                preferred_element_type=jnp.float32,
-            )
+        r = jax.lax.dot_general(
+            h[0 : n_out + 2, :], w_ref[0],
+            (((1,), (0,)), ((), ())), preferred_element_type=jnp.float32)
+        for dy in (1, 2):
+            r = r + jax.lax.dot_general(
+                h[dy * wp : dy * wp + n_out + 2, :], w_ref[dy],
+                (((1,), (0,)), ((), ())), preferred_element_type=jnp.float32)
+        c = w_ref.shape[2] // 3
+        acc = (r[0:n_out, 0:c] + r[1:n_out + 1, c:2 * c]
+               + r[2:n_out + 2, 2 * c:3 * c])
         out = jnp.maximum(acc + b_ref[0][None, :], 0.0)
         if mask:
             # buffer index b holds canvas flat position q = b + shift; this
             # layer's canvas rows start at `shift`
             q = jax.lax.broadcasted_iota(jnp.int32, (n_out, 1), 0) + shift
-            row = q // wp + shift
-            col = q - (q // wp) * wp
+            # exact floor(q / wp) without integer division (slow VPU op):
+            # float multiply by 1/wp then one correction step; exact for
+            # q < 2^24 (band flat sizes are ~1e6)
+            qr = jnp.floor(q.astype(jnp.float32) * (1.0 / wp)).astype(jnp.int32)
+            col = q - qr * wp
+            fix = (col >= wp).astype(jnp.int32) - (col < 0).astype(jnp.int32)
+            qr = qr + fix
+            col = q - qr * wp
+            row = qr + shift
             g_row = n * rt + row - MARGIN  # global image row
             valid = (
                 (g_row >= 0) & (g_row < h_img)
@@ -99,11 +134,66 @@ def _kernel(
             out = jnp.where(valid, out, 0.0)
         return out.astype(dtype)
 
-    x = x_ref[0, 0]
-    h1 = layer(x, w1_ref, b1_ref, (rt + 4) * wp, TAILS[0], 1, True)
-    h2 = layer(h1, w2_ref, b2_ref, (rt + 2) * wp, TAILS[1], 2, True)
-    h3 = layer(h2, w3_ref, b3_ref, rt * wp, TAILS[2], 3, False)
-    o_ref[0, 0] = h3[: rt * wp, :]
+    x = assemble_band(xc_ref, xh_ref, dtype)
+    h1 = layer(x, w1_ref, b1_ref, (rt + 6) * wp, TAILS[0], 1, True)
+    h2 = layer(h1, w2_ref, b2_ref, (rt + 4) * wp, TAILS[1], 2, True)
+    h3 = layer(h2, w3_ref, b3_ref, (rt + 2) * wp, TAILS[2], 3, False)
+    # own output rows [4, rt+4): slice the base-3 buffer at idx(3, 4, 0)
+    o_ref[0] = h3[wp - 3 : wp - 3 + rt * wp, :]
+
+
+def conv_block_fused_canvas(
+    xc: jax.Array,  # (B, (H+8)*wp, Cin) flat canvas from canvas_flat
+    h: int, w: int,
+    w1, b1, w2, b2, w3, b3,
+    *,
+    row_tile: int = 16,
+    interpret: bool = False,
+):
+    """Fused block forward on a prebuilt canvas -> (out, canvas) where out is
+    the (B, H, W, C) activation. Exposed so the custom VJP can reuse the
+    canvas as a residual for the backward kernel."""
+    b = xc.shape[0]
+    cin = xc.shape[-1]
+    c = w1.shape[-1]
+    rt = min(row_tile, h)
+    assert h % rt == 0 and rt % HALO_ROWS == 0, (h, rt)
+    nb = h // rt
+    wp = canvas_wp(w)
+    dtype = xc.dtype
+
+    kernel = functools.partial(
+        _kernel, rt=rt, wp=wp, h_img=h, w_img=w, dtype=dtype
+    )
+    core, halo = band_views(rt, wp, cin)
+    wspec = pl.BlockSpec(memory_space=pltpu.VMEM)
+    out = pl.pallas_call(
+        kernel,
+        grid=(b, nb),
+        in_specs=[core, halo, wspec, wspec, wspec, wspec, wspec, wspec],
+        out_specs=pl.BlockSpec(
+            (1, rt * wp, c), lambda i, n: (i, n, 0),
+            memory_space=pltpu.VMEM,
+        ),
+        out_shape=jax.ShapeDtypeStruct((b, nb * rt * wp, c), dtype),
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=120 * 1024 * 1024
+        ),
+        interpret=interpret,
+    )(
+        xc, xc,
+        _regroup(w1.astype(dtype)), b1.astype(jnp.float32)[None, :],
+        _regroup(w2.astype(dtype)), b2.astype(jnp.float32)[None, :],
+        _regroup(w3.astype(dtype)), b3.astype(jnp.float32)[None, :],
+    )
+    return out
+
+
+def uncanvas(out: jax.Array, h: int, w: int) -> jax.Array:
+    """Kernel output (B, H*wp, C) with the core rows' ring columns -> (B,H,W,C)."""
+    b, _, c = out.shape
+    wp = canvas_wp(w)
+    return out.reshape(b, h, wp, c)[:, :, MARGIN : MARGIN + w, :]
 
 
 @functools.partial(
@@ -125,63 +215,14 @@ def conv_block_fused(
     ``row_tile``.
     """
     b, h, w, cin = x.shape
-    c = w1.shape[-1]
-    rt = min(row_tile, h)
-    assert h % rt == 0, (h, rt)
-    nb = h // rt
-    wp = _round16(w + 2 * MARGIN)
-    dtype = x.dtype if out_dtype is None else out_dtype
-
-    # zero-ring canvas, flattened row-major, one tail tile of zeros
-    canvas = jnp.zeros((b, h + 2 * MARGIN, wp, cin), x.dtype)
-    canvas = jax.lax.dynamic_update_slice(canvas, x, (0, MARGIN, MARGIN, 0))
-    flat = canvas.reshape(b, (h + 2 * MARGIN) * wp, cin)
-    flat = jnp.pad(flat, ((0, 0), (0, TAIL), (0, 0)))
-
-    # overlapping row bands: band n = canvas rows [n*rt, n*rt + rt + 6) + tail
-    lb = (rt + 6) * wp + TAIL
-    starts = jnp.arange(nb, dtype=jnp.int32) * (rt * wp)
-
-    def _band(img):
-        return jax.vmap(
-            lambda s: jax.lax.dynamic_slice(img, (s, 0), (lb, cin))
-        )(starts)
-
-    bands = jax.vmap(_band)(flat)  # (B, nb, lb, cin)
-
-    kernel = functools.partial(
-        _kernel, rt=rt, wp=wp, h_img=h, w_img=w, dtype=dtype
+    if out_dtype is not None:
+        x = x.astype(out_dtype)
+    xc = canvas_flat(x, canvas_wp(w))
+    out = conv_block_fused_canvas(
+        xc, h, w, w1, b1, w2, b2, w3, b3,
+        row_tile=row_tile, interpret=interpret,
     )
-    wspec = pl.BlockSpec(memory_space=pltpu.VMEM)
-    out = pl.pallas_call(
-        kernel,
-        grid=(b, nb),
-        in_specs=[
-            pl.BlockSpec((1, 1, lb, cin), lambda i, n: (i, n, 0, 0),
-                         memory_space=pltpu.VMEM),
-            wspec, wspec, wspec, wspec, wspec, wspec,
-        ],
-        out_specs=pl.BlockSpec(
-            (1, 1, rt * wp, c), lambda i, n: (i, n, 0, 0),
-            memory_space=pltpu.VMEM,
-        ),
-        out_shape=jax.ShapeDtypeStruct((b, nb, rt * wp, c), dtype),
-        compiler_params=pltpu.CompilerParams(
-            vmem_limit_bytes=100 * 1024 * 1024
-        ),
-        interpret=interpret,
-    )(
-        bands,
-        _regroup(w1.astype(x.dtype)), b1.astype(jnp.float32)[None, :],
-        _regroup(w2.astype(x.dtype)), b2.astype(jnp.float32)[None, :],
-        _regroup(w3.astype(x.dtype)), b3.astype(jnp.float32)[None, :],
-    )
-
-    # undo the 3-element flat shift, then crop the ring columns
-    out = out.reshape(b, nb * rt * wp, c)
-    out = jnp.pad(out, ((0, 0), (MARGIN, 0), (0, 0)))[:, : nb * rt * wp, :]
-    out = out.reshape(b, h, wp, c)
-    return out[:, :, MARGIN : MARGIN + w, :]
+    return uncanvas(out, h, w)
 
 
 def conv_block_weights(params):

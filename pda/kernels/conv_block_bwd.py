@@ -1,0 +1,282 @@
+"""Pallas TPU kernel: fused backward of the 3x(conv3x3+bias+relu) block.
+
+Companion to pda.kernels.conv_block (forward). One kernel invocation per
+(batch image, row band) computes, entirely in VMEM:
+
+  * recompute of the two intermediate activations h1, h2 from the input band
+    (cheaper than round-tripping them through HBM; +2 layer-passes of MXU
+    work for -2 saved activation streams);
+  * the relu-masked gradient chain da3 -> da2 -> da1 -> dx (dgrad convs with
+    flipped, io-swapped kernels — same shifted-matmul stencil as forward);
+  * per-band weight/bias gradient partials via huge-K dot_generals
+    (dW tap (dy, dx) = sum over band-owned pixels of shifted-input x grad),
+    summed over bands by XLA afterwards.
+
+Banding: uniform zero-ring canvases with margin 4 (rows [4, H+4)); band n
+loads rows [n*rt, n*rt + rt + 8) of x, g (upstream cotangent) and h3 (the
+forward output). The "base-beta" flat-shift convention from the forward
+kernel generalizes: a buffer with base b holds value(row, col) at flat index
+(row - b)*Wp + col - b, which keeps every slice start non-negative and makes
+all dy-shifts Wp-aligned (legal lane concats). Ownership: each band's weight
+gradients sum over its own rt output rows only, so band partials tile the
+image exactly; ring columns contribute zero because the g canvas has a zero
+ring.
+
+See the measurement history in pda/models/blocks.py: XLA's autodiff backward
+for this chain was the dominant cost of the PUNet train step.
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import Tuple
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+from .conv_block import (
+    MARGIN,
+    PAD_TAIL,
+    assemble_band,
+    band_views,
+    canvas_flat,
+    canvas_wp,
+)
+
+
+def _prep_fwd(w: jax.Array) -> jax.Array:
+    """(3, 3, Cin, Cout) HWIO -> (3_dy, Cin, 3_dx*Cout) for the nocat stencil."""
+    return jnp.transpose(w, (0, 2, 1, 3)).reshape(3, w.shape[2], 3 * w.shape[3])
+
+
+def _prep_dgrad(w: jax.Array) -> jax.Array:
+    """Same prep for the input-gradient conv: spatially flipped, io swapped."""
+    return _prep_fwd(jnp.flip(w, axis=(0, 1)).transpose(0, 1, 3, 2))
+
+
+def _kernel(
+    xc_ref, xh_ref, gc_ref, gh_ref, h3c_ref, h3h_ref,
+    wf1_ref, b1_ref, wf2_ref, b2_ref,  # forward weights (recompute)
+    wd1_ref, wd2_ref, wd3_ref,          # dgrad weights
+    dx_ref, dw1_ref, db1_ref, dw2_ref, db2_ref, dw3_ref, db3_ref,
+    *, rt: int, wp: int, h_img: int, w_img: int, dtype,
+):
+    n = pl.program_id(1)
+
+    def stencil(h, w_ref, l_out: int, off0: int, headroom: int):
+        """nocat conv stencil: out[p] = sum_dy,dx h[p + off0 + dy*wp + dx] W.
+
+        Returns the f32 accumulator of length l_out + headroom (caller adds
+        bias/relu/mask and casts)."""
+        n_out = l_out + headroom
+        cout3 = w_ref.shape[2]
+        r = jax.lax.dot_general(
+            h[off0 : off0 + n_out + 2, :], w_ref[0],
+            (((1,), (0,)), ((), ())), preferred_element_type=jnp.float32)
+        for dy in (1, 2):
+            r = r + jax.lax.dot_general(
+                h[off0 + dy * wp : off0 + dy * wp + n_out + 2, :], w_ref[dy],
+                (((1,), (0,)), ((), ())), preferred_element_type=jnp.float32)
+        c = cout3 // 3
+        return (r[0:n_out, 0:c] + r[1:n_out + 1, c:2 * c]
+                + r[2:n_out + 2, 2 * c:3 * c])
+
+    def img_mask(n_out: int, base: int):
+        """1 inside the image (rows+cols), 0 elsewhere, for base-beta buffers."""
+        q = jax.lax.broadcasted_iota(jnp.int32, (n_out, 1), 0) + base
+        # exact floor(q / wp) via float reciprocal + correction (no int div)
+        qr = jnp.floor(q.astype(jnp.float32) * (1.0 / wp)).astype(jnp.int32)
+        col = q - qr * wp
+        fix = (col >= wp).astype(jnp.int32) - (col < 0).astype(jnp.int32)
+        qr = qr + fix
+        col = q - qr * wp
+        row = qr + base
+        g_row = n * rt + row - MARGIN
+        return ((g_row >= 0) & (g_row < h_img)
+                & (col >= MARGIN) & (col < w_img + MARGIN))
+
+    x = assemble_band(xc_ref, xh_ref, dtype)
+    g = assemble_band(gc_ref, gh_ref, dtype)
+    h3 = assemble_band(h3c_ref, h3h_ref, dtype)
+
+    # Per-buffer flat headrooms: each stencil consumer reads up to
+    # off0 + 2*wp + len(consumer) + 2, so headrooms shrink by >= 2 down
+    # each chain (band tail 32 -> h1 24 -> h2 16; da3 band -> da2 16 -> da1 8).
+    # ---- recompute h1 (base 1, rows [1, rt+7)) and h2 (base 2, rows [2, rt+6))
+    l_h1 = (rt + 6) * wp
+    a1 = stencil(x, wf1_ref, l_h1, 0, 24)
+    h1 = jnp.where(img_mask(l_h1 + 24, 1),
+                   jnp.maximum(a1 + b1_ref[0][None, :], 0.0), 0.0).astype(dtype)
+    l_h2 = (rt + 4) * wp
+    a2 = stencil(h1, wf2_ref, l_h2, 0, 16)
+    h2 = jnp.where(img_mask(l_h2 + 16, 2),
+                   jnp.maximum(a2 + b2_ref[0][None, :], 0.0), 0.0).astype(dtype)
+
+    # ---- gradient chain
+    # da3 (base 0, full band): g * relu'(h3); g/h3 ring columns are zero
+    da3 = jnp.where(h3.astype(jnp.float32) > 0.0, g, 0).astype(dtype)
+
+    # da2 (base 2): dgrad conv of da3 (base 0 -> off0 = wp + 1), relu' of h2
+    l_da2 = (rt + 4) * wp
+    r2 = stencil(da3, wd3_ref, l_da2, wp + 1, 16)
+    da2 = (jnp.where(h2.astype(jnp.float32) > 0.0, r2, 0.0)).astype(dtype)
+
+    # da1 (base 3): dgrad of da2 (base 2 -> off0 = 0); relu' of h1 needs the
+    # base-1 buffer re-based: h1 index = da1 index + 2*wp + 2
+    l_da1 = (rt + 2) * wp
+    r1 = stencil(da2, wd2_ref, l_da1, 0, 8)
+    h1s = h1[2 * wp + 2 : 2 * wp + 2 + l_da1 + 8, :]
+    da1 = (jnp.where(h1s.astype(jnp.float32) > 0.0, r1, 0.0)).astype(dtype)
+
+    # dx (base 4, exactly the band's rt owned rows)
+    l_dx = rt * wp
+    rx = stencil(da1, wd1_ref, l_dx, 0, 0)
+    dx_ref[0] = rx.astype(dtype)
+
+    # ---- weight/bias gradient partials over band-owned rows [4, rt+4)
+    def wgrad(h_in, base_i: int, da, base_o: int, dw_ref, db_ref):
+        own0 = (MARGIN - base_o) * wp - base_o
+        da_own = da[own0 : own0 + rt * wp, :]
+        g0 = (MARGIN - 1 - base_i) * wp - 1 - base_i
+        gin = jnp.concatenate(
+            [h_in[g0 + dy * wp : g0 + dy * wp + rt * wp + 2, :]
+             for dy in range(3)], axis=1)
+        for dx in range(3):
+            dw_ref[0, 0, dx] = jax.lax.dot_general(
+                gin[dx : dx + rt * wp, :], da_own,
+                (((0,), (0,)), ((), ())), preferred_element_type=jnp.float32)
+        db_ref[0, 0] = jnp.sum(
+            da_own.astype(jnp.float32), axis=0, keepdims=True)
+
+    wgrad(h2, 2, da3, 0, dw3_ref, db3_ref)
+    wgrad(h1, 1, da2, 2, dw2_ref, db2_ref)
+    wgrad(x, 0, da1, 3, dw1_ref, db1_ref)
+
+
+@functools.partial(jax.jit, static_argnames=("h", "w", "row_tile", "interpret"))
+def conv_block_bwd_canvas(
+    xc: jax.Array,   # (B, (H+8)*wp, Cin) margin-4 canvas of the fwd input
+    h3p: jax.Array,  # (B, (H+8)*wp, C)   margin-0 fwd output flat, row-padded
+    gc: jax.Array,   # (B, (H+8)*wp, C)   margin-4 canvas of the cotangent
+    h: int, w: int,
+    w1: jax.Array, b1: jax.Array,
+    w2: jax.Array, b2: jax.Array,
+    w3: jax.Array,
+    *,
+    row_tile: int = 16,
+    interpret: bool = False,
+):
+    """Returns (dx, dw1, db1, dw2, db2, dw3, db3); dw in HWIO f32."""
+    b = xc.shape[0]
+    cin = xc.shape[-1]
+    c = w1.shape[-1]
+    rt = min(row_tile, h)
+    assert h % rt == 0, (h, rt)
+    nb = h // rt
+    wp = canvas_wp(w)
+    dtype = xc.dtype
+
+    kernel = functools.partial(
+        _kernel, rt=rt, wp=wp, h_img=h, w_img=w, dtype=dtype)
+    vmem = pl.BlockSpec(memory_space=pltpu.VMEM)
+    xcore, xhalo = band_views(rt, wp, cin)
+    gcore, ghalo = band_views(rt, wp, c)
+
+    out_shapes = (
+        jax.ShapeDtypeStruct((b, nb * rt * wp, cin), dtype),        # dx
+        jax.ShapeDtypeStruct((b, nb, 3, 3 * cin, c), jnp.float32),  # dw1
+        jax.ShapeDtypeStruct((b, nb, 1, c), jnp.float32),           # db1
+        jax.ShapeDtypeStruct((b, nb, 3, 3 * c, c), jnp.float32),    # dw2
+        jax.ShapeDtypeStruct((b, nb, 1, c), jnp.float32),           # db2
+        jax.ShapeDtypeStruct((b, nb, 3, 3 * c, c), jnp.float32),    # dw3
+        jax.ShapeDtypeStruct((b, nb, 1, c), jnp.float32),           # db3
+    )
+    out_specs = (
+        pl.BlockSpec((1, rt * wp, cin), lambda i, n: (i, n, 0),
+                     memory_space=pltpu.VMEM),
+        pl.BlockSpec((1, 1, 3, 3 * cin, c), lambda i, n: (i, n, 0, 0, 0),
+                     memory_space=pltpu.VMEM),
+        pl.BlockSpec((1, 1, 1, c), lambda i, n: (i, n, 0, 0),
+                     memory_space=pltpu.VMEM),
+        pl.BlockSpec((1, 1, 3, 3 * c, c), lambda i, n: (i, n, 0, 0, 0),
+                     memory_space=pltpu.VMEM),
+        pl.BlockSpec((1, 1, 1, c), lambda i, n: (i, n, 0, 0),
+                     memory_space=pltpu.VMEM),
+        pl.BlockSpec((1, 1, 3, 3 * c, c), lambda i, n: (i, n, 0, 0, 0),
+                     memory_space=pltpu.VMEM),
+        pl.BlockSpec((1, 1, 1, c), lambda i, n: (i, n, 0, 0),
+                     memory_space=pltpu.VMEM),
+    )
+
+    outs = pl.pallas_call(
+        kernel,
+        grid=(b, nb),
+        in_specs=[
+            xcore, xhalo, gcore, ghalo, gcore, ghalo,
+            vmem, vmem, vmem, vmem, vmem, vmem, vmem,
+        ],
+        out_specs=out_specs,
+        out_shape=out_shapes,
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=120 * 1024 * 1024),
+        interpret=interpret,
+    )(
+        xc, xc, gc, gc, h3p, h3p,
+        _prep_fwd(w1.astype(dtype)), b1.astype(jnp.float32)[None, :],
+        _prep_fwd(w2.astype(dtype)), b2.astype(jnp.float32)[None, :],
+        _prep_dgrad(w1.astype(dtype)), _prep_dgrad(w2.astype(dtype)),
+        _prep_dgrad(w3.astype(dtype)),
+    )
+    dx_b, dw1p, db1p, dw2p, db2p, dw3p, db3p = outs
+
+    # dx: undo the base-4 flat shift, crop ring columns
+    dx = jnp.pad(dx_b, ((0, 0), (MARGIN, 0), (0, 0)))[:, : nb * rt * wp, :]
+    dx = dx.reshape(b, h, wp, cin)[:, :, MARGIN : MARGIN + w, :]
+
+    def _dw(p, ci):
+        # (B, nb, 3_dx, 3_dy*ci, c) partials -> HWIO (3_dy, 3_dx, ci, c)
+        s = jnp.sum(p, axis=(0, 1))
+        return s.reshape(3, 3, ci, c).transpose(1, 0, 2, 3)
+
+    def _db(p):
+        return jnp.sum(p, axis=(0, 1))[0]
+
+    return (dx, _dw(dw1p, cin), _db(db1p), _dw(dw2p, c), _db(db2p),
+            _dw(dw3p, c), _db(db3p))
+
+
+def h3_row_pad(out_flat: jax.Array, h: int, w: int) -> jax.Array:
+    """Fwd kernel output flat (B, H*wp, C) -> (B, (H+8)*wp, C) with MARGIN
+    zero rows above/below (ring columns stay garbage — neutralized by the
+    cotangent canvas's zero ring)."""
+    b, _, c = out_flat.shape
+    wp = canvas_wp(w)
+    z = jnp.zeros((b, MARGIN * wp, c), out_flat.dtype)
+    return jnp.concatenate([z, out_flat, z], axis=1)
+
+
+@functools.partial(jax.jit, static_argnames=("row_tile", "interpret"))
+def conv_block_bwd(
+    x: jax.Array,   # (B, H, W, Cin) forward input
+    h3: jax.Array,  # (B, H, W, C)   forward output
+    g: jax.Array,   # (B, H, W, C)   upstream cotangent
+    w1: jax.Array, b1: jax.Array,
+    w2: jax.Array, b2: jax.Array,
+    w3: jax.Array,
+    *,
+    row_tile: int = 16,
+    interpret: bool = False,
+):
+    """Standalone entry: builds the canvases, then conv_block_bwd_canvas."""
+    b, h, w, cin = x.shape
+    wp = canvas_wp(w)
+    xc = canvas_flat(x, wp)
+    gc = canvas_flat(g.astype(x.dtype), wp)
+    h3c = canvas_flat(h3, wp)[:, : (h + 2 * MARGIN) * wp, :]
+    # canvas_flat already produces margin-4 rows; reuse directly as h3p
+    return conv_block_bwd_canvas(
+        xc, h3c, gc, h, w, w1, b1, w2, b2, w3,
+        row_tile=row_tile, interpret=interpret,
+    )

@@ -182,6 +182,128 @@ def _conv3_bwd(res, g):
 conv3_relu.defvjp(_conv3_fwd, _conv3_bwd)
 
 
+# ---------------------------------------------------------------------------
+# Pallas path: whole-block fused forward AND backward kernels
+# (pda.kernels.conv_block / conv_block_bwd). The forward streams each row
+# band through VMEM once for all three convolutions; the backward fuses
+# activation recompute + relu-masked dgrad chain + big-K wgrad partials per
+# band. Numerics: same bf16 class as the XLA path (verified against f32
+# ground truth — the deviation is relu-boundary bf16 noise both paths share).
+# ---------------------------------------------------------------------------
+
+
+def _fwd_row_tile(h: int, cin: int, c: int) -> int:
+    """Row-band height for the forward kernel, sized to keep the band + f32
+    stencil accumulator well inside VMEM at each PUNet geometry."""
+    if h >= 512:
+        return 16 if max(cin, c) > 64 else 32
+    return min(32, h)
+
+
+def _bwd_row_tile(h: int, cin: int, c: int) -> int:
+    """Backward kernel bands carry 3 input streams + wider f32 accumulators
+    (3*max(cin,c) lanes), so tiles shrink faster with width/channels."""
+    m = max(cin, c)
+    if h >= 512:
+        return 16 if m <= 64 else 8
+    if h == 256:
+        return 16
+    if h == 128:
+        return 32 if m <= 256 else 8
+    return min(16 if m > 256 else 32, h)
+
+
+def pallas_conv_enabled() -> bool:
+    """Use the Pallas fused block kernels? Env override PDA_PALLAS_CONV=0/1,
+    default: only on TPU backends (the kernels target Mosaic/v5e)."""
+    import os
+
+    flag = os.environ.get("PDA_PALLAS_CONV", "auto")
+    if flag == "0":
+        return False
+    if flag == "1":
+        return True
+    try:
+        # honor `with jax.default_device(cpu)` contexts (CPU param init)
+        dev = jax.config.jax_default_device
+        if dev is not None and getattr(dev, "platform", str(dev)) not in (
+            "tpu", "axon",
+        ):
+            return False
+        return jax.default_backend() in ("tpu", "axon")
+    except Exception:
+        return False
+
+
+@jax.custom_vjp
+def conv3_relu_pallas(x, w1, b1, w2, b2, w3, b3):
+    from ..kernels.conv_block import conv_block_fused
+
+    rt = _fwd_row_tile(x.shape[1], x.shape[-1], w1.shape[-1])
+    return conv_block_fused(x, w1, b1, w2, b2, w3, b3, row_tile=rt)
+
+
+def _conv3p_fwd(x, w1, b1, w2, b2, w3, b3):
+    from ..kernels.conv_block import (
+        canvas_flat,
+        canvas_wp,
+        conv_block_fused_canvas,
+        uncanvas,
+    )
+
+    h, w = x.shape[1], x.shape[2]
+    rt = _fwd_row_tile(h, x.shape[-1], w1.shape[-1])
+    xc = canvas_flat(x, canvas_wp(w))
+    out_flat = conv_block_fused_canvas(
+        xc, h, w, w1, b1, w2, b2, w3, b3, row_tile=rt
+    )
+    # residuals carry the canvases so the backward rebuilds nothing
+    return uncanvas(out_flat, h, w), (xc, out_flat, (h, w), w1, b1, w2, b2, w3)
+
+
+def _conv3p_bwd(res, g):
+    from ..kernels.conv_block import canvas_flat, canvas_wp
+    from ..kernels.conv_block_bwd import conv_block_bwd_canvas, h3_row_pad
+
+    xc, out_flat, (h, w), w1, b1, w2, b2, w3 = res
+    rt = _bwd_row_tile(h, xc.shape[-1], w1.shape[-1])
+    gc = canvas_flat(g.astype(xc.dtype), canvas_wp(w))
+    h3p = h3_row_pad(out_flat, h, w)
+    dx, dw1, db1, dw2, db2, dw3, db3 = conv_block_bwd_canvas(
+        xc, h3p, gc, h, w, w1, b1, w2, b2, w3, row_tile=rt
+    )
+    return dx, dw1, db1, dw2, db2, dw3, db3
+
+
+conv3_relu_pallas.defvjp(_conv3p_fwd, _conv3p_bwd)
+
+
+@jax.custom_vjp
+def conv3_relu_mixed(x, w1, b1, w2, b2, w3, b3):
+    """XLA convolutions forward (fast, fused by XLA in gradient-free
+    contexts), Pallas fused kernel backward."""
+    h = x
+    for w, b in ((w1, b1), (w2, b2), (w3, b3)):
+        h = jnp.maximum(_conv_same(h, w) + b.astype(h.dtype), 0.0)
+    return h
+
+
+def _conv3m_fwd(x, w1, b1, w2, b2, w3, b3):
+    h3 = conv3_relu_mixed(x, w1, b1, w2, b2, w3, b3)
+    return h3, (x, h3, w1, b1, w2, b2, w3)
+
+
+def _conv3m_bwd(res, g):
+    from ..kernels.conv_block_bwd import conv_block_bwd
+
+    x, h3, w1, b1, w2, b2, w3 = res
+    rt = _bwd_row_tile(x.shape[1], x.shape[-1], w1.shape[-1])
+    return conv_block_bwd(x, h3, g, w1, b1, w2, b2, w3, row_tile=rt)
+
+
+conv3_relu_mixed.defvjp(_conv3m_fwd, _conv3m_bwd)
+
+
 class _ConvParams(nn.Module):
     """Parameter container matching ``nn.Conv``'s param tree exactly
     (``<name>/kernel`` HWIO + ``<name>/bias``) so checkpoints and the torch
@@ -225,7 +347,19 @@ class ConvBlock(nn.Module):
             cin = self.features
         x = x.astype(self.dtype)
         if self.n_convs == 3:
-            return conv3_relu(
+            h = x.shape[1]
+            cin, c = x.shape[-1], self.features
+            fn = conv3_relu
+            if (
+                pallas_conv_enabled()
+                and h % _fwd_row_tile(h, cin, c) == 0
+                and h % _bwd_row_tile(h, cin, c) == 0
+            ):
+                import os
+
+                mode = os.environ.get("PDA_PALLAS_CONV_MODE", "full")
+                fn = conv3_relu_mixed if mode == "mixed" else conv3_relu_pallas
+            return fn(
                 x,
                 params[0].kernel, params[0].bias,
                 params[1].kernel, params[1].bias,

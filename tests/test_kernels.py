@@ -86,3 +86,78 @@ class TestConvBlockKernel:
             x, *conv_block_weights(params), row_tile=16, interpret=True
         )
         np.testing.assert_allclose(out, ref, rtol=1e-4, atol=1e-5)
+
+
+class TestConvBlockBwdKernel:
+    """Fused backward kernel (pda/kernels/conv_block_bwd.py) vs autodiff.
+
+    Covers multiple bands, non-square frames, cin != cout, and the full
+    custom-vjp wiring (conv3_relu_pallas) in interpret mode.
+    """
+
+    @pytest.mark.parametrize(
+        "shape,c,rt",
+        [((2, 32, 32, 4), 8, 8), ((1, 48, 40, 1), 8, 16), ((2, 16, 24, 8), 8, 16)],
+    )
+    def test_grads_match_autodiff(self, shape, c, rt):
+        from pda.kernels.conv_block_bwd import conv_block_bwd
+
+        b, h, w, cin = shape
+        rng = np.random.default_rng(3)
+
+        def conv(x, wk):
+            return jax.lax.conv_general_dilated(
+                x, wk, (1, 1), "SAME",
+                dimension_numbers=("NHWC", "HWIO", "NHWC"))
+
+        def block(x, w1, b1, w2, b2, w3, b3):
+            hh = x
+            for wk, bk in ((w1, b1), (w2, b2), (w3, b3)):
+                hh = jnp.maximum(conv(hh, wk) + bk, 0.0)
+            return hh
+
+        x = jnp.asarray(rng.normal(size=shape).astype(np.float32))
+        ws, bs = [], []
+        for (i, o) in [(cin, c), (c, c), (c, c)]:
+            ws.append(jnp.asarray(rng.normal(size=(3, 3, i, o)).astype(np.float32)) * 0.2)
+            bs.append(jnp.asarray(rng.normal(size=(o,)).astype(np.float32)) * 0.1)
+        g = jnp.asarray(rng.normal(size=(b, h, w, c)).astype(np.float32))
+
+        h3, vjp = jax.vjp(block, x, ws[0], bs[0], ws[1], bs[1], ws[2], bs[2])
+        ref = vjp(g)
+        out = conv_block_bwd(
+            x, h3, g, ws[0], bs[0], ws[1], bs[1], ws[2],
+            row_tile=rt, interpret=True,
+        )
+        for name, a, r in zip(
+            ["dx", "dw1", "db1", "dw2", "db2", "dw3", "db3"], out, ref
+        ):
+            rel = float(jnp.abs(a - r).max() / (jnp.abs(r).max() + 1e-9))
+            assert rel < 2e-5, (name, rel)
+
+    def test_custom_vjp_wiring(self, monkeypatch):
+        """conv3_relu_pallas (fwd kernel + bwd kernel via custom_vjp) agrees
+        with the XLA conv3_relu custom VJP end to end."""
+        from pda.models import blocks as blk
+
+        # force-enable the pallas path and run its kernels interpreted
+        monkeypatch.setenv("PDA_PALLAS_CONV", "1")
+        import jax.experimental.pallas.tpu as _  # noqa: F401
+        from jax.experimental.pallas import tpu as pltpu
+
+        rng = np.random.default_rng(5)
+        x = jnp.asarray(rng.normal(size=(1, 16, 16, 4)).astype(np.float32))
+        ws, bs = [], []
+        for (i, o) in [(4, 8), (8, 8), (8, 8)]:
+            ws.append(jnp.asarray(rng.normal(size=(3, 3, i, o)).astype(np.float32)) * 0.2)
+            bs.append(jnp.asarray(rng.normal(size=(o,)).astype(np.float32)) * 0.1)
+
+        def loss(fn):
+            return lambda *a: jnp.sum(fn(*a) ** 2)
+
+        args = (x, ws[0], bs[0], ws[1], bs[1], ws[2], bs[2])
+        with pltpu.force_tpu_interpret_mode():
+            gp = jax.grad(loss(blk.conv3_relu_pallas), argnums=(0, 1, 2))(*args)
+        gx = jax.grad(loss(blk.conv3_relu), argnums=(0, 1, 2))(*args)
+        for a, r in zip(gp, gx):
+            np.testing.assert_allclose(a, r, rtol=1e-4, atol=1e-5)
