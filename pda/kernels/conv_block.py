@@ -96,7 +96,9 @@ def _regroup(w: jax.Array) -> jax.Array:
 
 def _kernel(
     xc_ref, xh_ref, w1_ref, b1_ref, w2_ref, b2_ref, w3_ref, b3_ref, o_ref,
-    *, rt: int, wp: int, h_img: int, w_img: int, dtype,
+    *rest,
+    rt: int, wp: int, h_img: int, w_img: int, dtype,
+    save_intermediates: bool = False,
 ):
     n = pl.program_id(1)  # band index within the image
 
@@ -140,6 +142,12 @@ def _kernel(
     h3 = layer(h2, w3_ref, b3_ref, (rt + 2) * wp, TAILS[2], 3, False)
     # own output rows [4, rt+4): slice the base-3 buffer at idx(3, 4, 0)
     o_ref[0] = h3[wp - 3 : wp - 3 + rt * wp, :]
+    if save_intermediates:
+        # band-owned rows [4, rt+4) of h1 (base 1) / h2 (base 2): the slices
+        # land exactly on the margin-0 flat canvas (same as the main output)
+        h1_ref, h2_ref = rest
+        h1_ref[0] = h1[3 * wp - 1 : 3 * wp - 1 + rt * wp, :]
+        h2_ref[0] = h2[2 * wp - 2 : 2 * wp - 2 + rt * wp, :]
 
 
 def conv_block_fused_canvas(
@@ -149,10 +157,12 @@ def conv_block_fused_canvas(
     *,
     row_tile: int = 16,
     interpret: bool = False,
+    save_intermediates: bool = False,
 ):
-    """Fused block forward on a prebuilt canvas -> (out, canvas) where out is
-    the (B, H, W, C) activation. Exposed so the custom VJP can reuse the
-    canvas as a residual for the backward kernel."""
+    """Fused block forward on a prebuilt canvas. Returns the margin-0 flat
+    output (B, H*wp, C), or (out, h1_m0, h2_m0) when ``save_intermediates``
+    (the intermediates feed the backward kernel, skipping its recompute).
+    Exposed so the custom VJP can reuse the canvas as a residual."""
     b = xc.shape[0]
     cin = xc.shape[-1]
     c = w1.shape[-1]
@@ -163,19 +173,21 @@ def conv_block_fused_canvas(
     dtype = xc.dtype
 
     kernel = functools.partial(
-        _kernel, rt=rt, wp=wp, h_img=h, w_img=w, dtype=dtype
+        _kernel, rt=rt, wp=wp, h_img=h, w_img=w, dtype=dtype,
+        save_intermediates=save_intermediates,
     )
     core, halo = band_views(rt, wp, cin)
     wspec = pl.BlockSpec(memory_space=pltpu.VMEM)
+    ospec = pl.BlockSpec(
+        (1, rt * wp, c), lambda i, n: (i, n, 0), memory_space=pltpu.VMEM
+    )
+    oshape = jax.ShapeDtypeStruct((b, nb * rt * wp, c), dtype)
     out = pl.pallas_call(
         kernel,
         grid=(b, nb),
         in_specs=[core, halo, wspec, wspec, wspec, wspec, wspec, wspec],
-        out_specs=pl.BlockSpec(
-            (1, rt * wp, c), lambda i, n: (i, n, 0),
-            memory_space=pltpu.VMEM,
-        ),
-        out_shape=jax.ShapeDtypeStruct((b, nb * rt * wp, c), dtype),
+        out_specs=(ospec, ospec, ospec) if save_intermediates else ospec,
+        out_shape=(oshape, oshape, oshape) if save_intermediates else oshape,
         compiler_params=pltpu.CompilerParams(
             vmem_limit_bytes=120 * 1024 * 1024
         ),

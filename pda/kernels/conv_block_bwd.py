@@ -58,11 +58,18 @@ def _prep_dgrad(w: jax.Array) -> jax.Array:
 
 def _kernel(
     xc_ref, xh_ref, gc_ref, gh_ref, h3c_ref, h3h_ref,
-    wf1_ref, b1_ref, wf2_ref, b2_ref,  # forward weights (recompute)
-    wd1_ref, wd2_ref, wd3_ref,          # dgrad weights
-    dx_ref, dw1_ref, db1_ref, dw2_ref, db2_ref, dw3_ref, db3_ref,
-    *, rt: int, wp: int, h_img: int, w_img: int, dtype,
+    *refs,
+    rt: int, wp: int, h_img: int, w_img: int, dtype,
+    recompute: bool = True,
 ):
+    if recompute:
+        (wf1_ref, b1_ref, wf2_ref, b2_ref,
+         wd1_ref, wd2_ref, wd3_ref,
+         dx_ref, dw1_ref, db1_ref, dw2_ref, db2_ref, dw3_ref, db3_ref) = refs
+    else:
+        (h1c_ref, h1h_ref, h2c_ref, h2h_ref,
+         wd1_ref, wd2_ref, wd3_ref,
+         dx_ref, dw1_ref, db1_ref, dw2_ref, db2_ref, dw3_ref, db3_ref) = refs
     n = pl.program_id(1)
 
     def stencil(h, w_ref, l_out: int, off0: int, headroom: int):
@@ -104,31 +111,45 @@ def _kernel(
     # Per-buffer flat headrooms: each stencil consumer reads up to
     # off0 + 2*wp + len(consumer) + 2, so headrooms shrink by >= 2 down
     # each chain (band tail 32 -> h1 24 -> h2 16; da3 band -> da2 16 -> da1 8).
-    # ---- recompute h1 (base 1, rows [1, rt+7)) and h2 (base 2, rows [2, rt+6))
     l_h1 = (rt + 6) * wp
-    a1 = stencil(x, wf1_ref, l_h1, 0, 24)
-    h1 = jnp.where(img_mask(l_h1 + 24, 1),
-                   jnp.maximum(a1 + b1_ref[0][None, :], 0.0), 0.0).astype(dtype)
     l_h2 = (rt + 4) * wp
-    a2 = stencil(h1, wf2_ref, l_h2, 0, 16)
-    h2 = jnp.where(img_mask(l_h2 + 16, 2),
-                   jnp.maximum(a2 + b2_ref[0][None, :], 0.0), 0.0).astype(dtype)
+    l_da2 = (rt + 4) * wp
+    l_da1 = (rt + 2) * wp
+    if recompute:
+        # ---- recompute h1 (base 1, rows [1, rt+7)), h2 (base 2, [2, rt+6))
+        a1 = stencil(x, wf1_ref, l_h1, 0, 24)
+        h1 = jnp.where(img_mask(l_h1 + 24, 1),
+                       jnp.maximum(a1 + b1_ref[0][None, :], 0.0),
+                       0.0).astype(dtype)
+        a2 = stencil(h1, wf2_ref, l_h2, 0, 16)
+        h2 = jnp.where(img_mask(l_h2 + 16, 2),
+                       jnp.maximum(a2 + b2_ref[0][None, :], 0.0),
+                       0.0).astype(dtype)
+        h2_for_da2 = h2                       # base-2 buffer, len l_da2 + 16
+        h1_for_da1 = h1[2 * wp + 2 : 2 * wp + 2 + l_da1 + 8, :]
+        h1_wgrad, h1_wgrad_base = h1, 1
+        h2_wgrad, h2_wgrad_base = h2, 2
+    else:
+        # ---- h1/h2 streamed from the forward (margin-4 padded canvases,
+        # loaded as base-0 bands like x/g/h3)
+        h1b = assemble_band(h1c_ref, h1h_ref, dtype)
+        h2b = assemble_band(h2c_ref, h2h_ref, dtype)
+        h2_for_da2 = h2b[2 * wp + 2 : 2 * wp + 2 + l_da2 + 16, :]
+        h1_for_da1 = h1b[3 * wp + 3 : 3 * wp + 3 + l_da1 + 8, :]
+        h1_wgrad, h1_wgrad_base = h1b, 0
+        h2_wgrad, h2_wgrad_base = h2b, 0
 
     # ---- gradient chain
     # da3 (base 0, full band): g * relu'(h3); g/h3 ring columns are zero
     da3 = jnp.where(h3.astype(jnp.float32) > 0.0, g, 0).astype(dtype)
 
     # da2 (base 2): dgrad conv of da3 (base 0 -> off0 = wp + 1), relu' of h2
-    l_da2 = (rt + 4) * wp
     r2 = stencil(da3, wd3_ref, l_da2, wp + 1, 16)
-    da2 = (jnp.where(h2.astype(jnp.float32) > 0.0, r2, 0.0)).astype(dtype)
+    da2 = (jnp.where(h2_for_da2.astype(jnp.float32) > 0.0, r2, 0.0)).astype(dtype)
 
-    # da1 (base 3): dgrad of da2 (base 2 -> off0 = 0); relu' of h1 needs the
-    # base-1 buffer re-based: h1 index = da1 index + 2*wp + 2
-    l_da1 = (rt + 2) * wp
+    # da1 (base 3): dgrad of da2 (base 2 -> off0 = 0); relu' of h1 re-based
     r1 = stencil(da2, wd2_ref, l_da1, 0, 8)
-    h1s = h1[2 * wp + 2 : 2 * wp + 2 + l_da1 + 8, :]
-    da1 = (jnp.where(h1s.astype(jnp.float32) > 0.0, r1, 0.0)).astype(dtype)
+    da1 = (jnp.where(h1_for_da1.astype(jnp.float32) > 0.0, r1, 0.0)).astype(dtype)
 
     # dx (base 4, exactly the band's rt owned rows)
     l_dx = rt * wp
@@ -150,8 +171,8 @@ def _kernel(
         db_ref[0, 0] = jnp.sum(
             da_own.astype(jnp.float32), axis=0, keepdims=True)
 
-    wgrad(h2, 2, da3, 0, dw3_ref, db3_ref)
-    wgrad(h1, 1, da2, 2, dw2_ref, db2_ref)
+    wgrad(h2_wgrad, h2_wgrad_base, da3, 0, dw3_ref, db3_ref)
+    wgrad(h1_wgrad, h1_wgrad_base, da2, 2, dw2_ref, db2_ref)
     wgrad(x, 0, da1, 3, dw1_ref, db1_ref)
 
 
@@ -165,6 +186,7 @@ def conv_block_bwd_canvas(
     w2: jax.Array, b2: jax.Array,
     w3: jax.Array,
     *,
+    h1p=None, h2p=None,  # row-padded forward intermediates (skip recompute)
     row_tile: int = 16,
     interpret: bool = False,
 ):
@@ -177,9 +199,11 @@ def conv_block_bwd_canvas(
     nb = h // rt
     wp = canvas_wp(w)
     dtype = xc.dtype
+    recompute = h1p is None
 
     kernel = functools.partial(
-        _kernel, rt=rt, wp=wp, h_img=h, w_img=w, dtype=dtype)
+        _kernel, rt=rt, wp=wp, h_img=h, w_img=w, dtype=dtype,
+        recompute=recompute)
     vmem = pl.BlockSpec(memory_space=pltpu.VMEM)
     xcore, xhalo = band_views(rt, wp, cin)
     gcore, ghalo = band_views(rt, wp, c)
@@ -210,12 +234,21 @@ def conv_block_bwd_canvas(
                      memory_space=pltpu.VMEM),
     )
 
+    if recompute:
+        extra_specs = [vmem, vmem, vmem, vmem]
+        extra_args = (
+            _prep_fwd(w1.astype(dtype)), b1.astype(jnp.float32)[None, :],
+            _prep_fwd(w2.astype(dtype)), b2.astype(jnp.float32)[None, :],
+        )
+    else:
+        extra_specs = [gcore, ghalo, gcore, ghalo]
+        extra_args = (h1p, h1p, h2p, h2p)
     outs = pl.pallas_call(
         kernel,
         grid=(b, nb),
         in_specs=[
             xcore, xhalo, gcore, ghalo, gcore, ghalo,
-            vmem, vmem, vmem, vmem, vmem, vmem, vmem,
+            *extra_specs, vmem, vmem, vmem,
         ],
         out_specs=out_specs,
         out_shape=out_shapes,
@@ -224,8 +257,7 @@ def conv_block_bwd_canvas(
         interpret=interpret,
     )(
         xc, xc, gc, gc, h3p, h3p,
-        _prep_fwd(w1.astype(dtype)), b1.astype(jnp.float32)[None, :],
-        _prep_fwd(w2.astype(dtype)), b2.astype(jnp.float32)[None, :],
+        *extra_args,
         _prep_dgrad(w1.astype(dtype)), _prep_dgrad(w2.astype(dtype)),
         _prep_dgrad(w3.astype(dtype)),
     )

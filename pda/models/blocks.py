@@ -192,12 +192,19 @@ conv3_relu.defvjp(_conv3_fwd, _conv3_bwd)
 # ---------------------------------------------------------------------------
 
 
+def _fit_tile(h: int, rt: int) -> int:
+    """Largest row tile <= rt (multiple of 8) that divides h; 0 if none."""
+    while rt >= 8 and h % rt:
+        rt //= 2
+    return rt if rt >= 8 and h % rt == 0 else 0
+
+
 def _fwd_row_tile(h: int, cin: int, c: int) -> int:
     """Row-band height for the forward kernel, sized to keep the band + f32
     stencil accumulator well inside VMEM at each PUNet geometry."""
     if h >= 512:
-        return 16 if max(cin, c) > 64 else 32
-    return min(32, h)
+        return _fit_tile(h, 16 if max(cin, c) > 64 else 32)
+    return _fit_tile(h, min(32, h))
 
 
 def _bwd_row_tile(h: int, cin: int, c: int) -> int:
@@ -205,12 +212,14 @@ def _bwd_row_tile(h: int, cin: int, c: int) -> int:
     (3*max(cin,c) lanes), so tiles shrink faster with width/channels."""
     m = max(cin, c)
     if h >= 512:
-        return 16 if m <= 64 else 8
-    if h == 256:
-        return 16
-    if h == 128:
-        return 32 if m <= 256 else 8
-    return min(16 if m > 256 else 32, h)
+        rt = 16 if m <= 64 else 8
+    elif h == 256:
+        rt = 32 if m <= 128 else 16
+    elif h == 128:
+        rt = 32 if m <= 256 else 8
+    else:
+        rt = min(16 if m > 256 else 32, h)
+    return _fit_tile(h, rt)
 
 
 def pallas_conv_enabled() -> bool:
@@ -254,23 +263,27 @@ def _conv3p_fwd(x, w1, b1, w2, b2, w3, b3):
     h, w = x.shape[1], x.shape[2]
     rt = _fwd_row_tile(h, x.shape[-1], w1.shape[-1])
     xc = canvas_flat(x, canvas_wp(w))
-    out_flat = conv_block_fused_canvas(
-        xc, h, w, w1, b1, w2, b2, w3, b3, row_tile=rt
+    out_flat, h1_flat, h2_flat = conv_block_fused_canvas(
+        xc, h, w, w1, b1, w2, b2, w3, b3, row_tile=rt, save_intermediates=True
     )
-    # residuals carry the canvases so the backward rebuilds nothing
-    return uncanvas(out_flat, h, w), (xc, out_flat, (h, w), w1, b1, w2, b2, w3)
+    # residuals carry the canvases + intermediates so the backward neither
+    # rebuilds canvases nor recomputes h1/h2
+    return uncanvas(out_flat, h, w), (
+        xc, out_flat, h1_flat, h2_flat, (h, w), w1, b1, w2, b2, w3
+    )
 
 
 def _conv3p_bwd(res, g):
     from ..kernels.conv_block import canvas_flat, canvas_wp
     from ..kernels.conv_block_bwd import conv_block_bwd_canvas, h3_row_pad
 
-    xc, out_flat, (h, w), w1, b1, w2, b2, w3 = res
+    xc, out_flat, h1_flat, h2_flat, (h, w), w1, b1, w2, b2, w3 = res
     rt = _bwd_row_tile(h, xc.shape[-1], w1.shape[-1])
     gc = canvas_flat(g.astype(xc.dtype), canvas_wp(w))
-    h3p = h3_row_pad(out_flat, h, w)
     dx, dw1, db1, dw2, db2, dw3, db3 = conv_block_bwd_canvas(
-        xc, h3p, gc, h, w, w1, b1, w2, b2, w3, row_tile=rt
+        xc, h3_row_pad(out_flat, h, w), gc, h, w, w1, b1, w2, b2, w3,
+        h1p=h3_row_pad(h1_flat, h, w), h2p=h3_row_pad(h2_flat, h, w),
+        row_tile=rt,
     )
     return dx, dw1, db1, dw2, db2, dw3, db3
 
@@ -352,8 +365,8 @@ class ConvBlock(nn.Module):
             fn = conv3_relu
             if (
                 pallas_conv_enabled()
-                and h % _fwd_row_tile(h, cin, c) == 0
-                and h % _bwd_row_tile(h, cin, c) == 0
+                and _fwd_row_tile(h, cin, c) > 0
+                and _bwd_row_tile(h, cin, c) > 0
             ):
                 import os
 
