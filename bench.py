@@ -10,7 +10,9 @@ batch 2 — reference LIVECell/livecell_mt.py:29-41,94-113).
 ``vs_baseline`` compares against a torch-style "direct translation" step
 implemented in JAX: 16 sequential full Fcomb decodes (no shared feature
 term), consensus assembled sample-by-sample, EMA as a separate dispatch —
-i.e. the reference's computation graph without the TPU-first fusions.
+i.e. the reference's computation graph without the TPU-first fusions. The
+baseline runs with the Pallas conv kernels DISABLED (plain XLA convs +
+autodiff) so it keeps representing the reference's execution structure.
 
 Prints ONE JSON line:
   {"metric": ..., "value": N, "unit": ..., "vs_baseline": N}
@@ -163,27 +165,33 @@ def main():
 
     t_fused, state = timed(run_fused, state, batch, ITERS)
 
-    naive_step = build_naive(model, tx)
-    from pda.train.state import create_train_state
+    # the baseline models the reference's execution structure: XLA convs +
+    # autodiff, not our fused kernels
+    os.environ["PDA_PALLAS_CONV"] = "0"
+    try:
+        naive_step = build_naive(model, tx)
+        from pda.train.state import create_train_state
 
-    with jax.default_device(jax.devices("cpu")[0]):
-        state2 = create_train_state(
-            model.init(
-                jax.random.PRNGKey(0),
-                jnp.zeros((1, 64, 64, 1)),
-                jnp.zeros((1, 64, 64, 1)),
-            )["params"],
-            tx,
-            jax.random.PRNGKey(1),
-            with_teacher=True,
-        )
-    state2 = jax.device_put(state2, jax.devices()[0])
+        with jax.default_device(jax.devices("cpu")[0]):
+            state2 = create_train_state(
+                model.init(
+                    jax.random.PRNGKey(0),
+                    jnp.zeros((1, 64, 64, 1)),
+                    jnp.zeros((1, 64, 64, 1)),
+                )["params"],
+                tx,
+                jax.random.PRNGKey(1),
+                with_teacher=True,
+            )
+        state2 = jax.device_put(state2, jax.devices()[0])
 
-    def run_naive(state, batch):
-        state, _ = naive_step(state, *batch)
-        return state
+        def run_naive(state, batch):
+            state, _ = naive_step(state, *batch)
+            return state
 
-    t_naive, _ = timed(run_naive, state2, batch, max(ITERS // 2, 5))
+        t_naive, _ = timed(run_naive, state2, batch, max(ITERS // 2, 5))
+    finally:
+        os.environ.pop("PDA_PALLAS_CONV", None)
 
     patches_per_sec = BATCH / t_fused
     vs_baseline = t_naive / t_fused
