@@ -73,6 +73,14 @@ def _load() -> Optional[ctypes.CDLL]:
         ctypes.c_float, ctypes.c_float, ctypes.c_float, ctypes.c_float,
         ctypes.c_uint64, _f32p,
     ]
+    lib.pda_elastic_warp.argtypes = [
+        _f32p, _f32p, ctypes.c_int64, ctypes.c_int64, _f32p, _f32p,
+        ctypes.c_int,
+    ]
+    lib.pda_field_upsample.argtypes = [
+        _f32p, ctypes.c_int64, ctypes.c_int64, ctypes.c_int64,
+        ctypes.c_int64, _f32p,
+    ]
     _LIB = lib
     return _LIB
 
@@ -139,6 +147,34 @@ def weak_augment(
         noise[0], noise[1], seed, scratch,
     )
     return x
+
+
+def elastic_warp(
+    x: np.ndarray, dy: np.ndarray, dx: np.ndarray, order: int = 1
+) -> np.ndarray:
+    """out(y, x) = in(y + dy, x + dx), reflect boundaries; order 1 = bilinear
+    (raw), 0 = nearest (labels/masks). scipy map_coordinates equivalent on the
+    loader hot path (~20x faster at 512^2)."""
+    lib = _load()
+    x = np.ascontiguousarray(x, dtype=np.float32)
+    out = np.empty_like(x)
+    lib.pda_elastic_warp(
+        x, out, x.shape[0], x.shape[1],
+        np.ascontiguousarray(dy, dtype=np.float32),
+        np.ascontiguousarray(dx, dtype=np.float32),
+        order,
+    )
+    return out
+
+
+def field_upsample(coarse: np.ndarray, h: int, w: int) -> np.ndarray:
+    """Bilinear-upsample a coarse (gh, gw) noise grid to an (h, w) field
+    (JointAugmentations._field hot path)."""
+    lib = _load()
+    coarse = np.ascontiguousarray(coarse, dtype=np.float32)
+    out = np.empty((h, w), dtype=np.float32)
+    lib.pda_field_upsample(coarse, coarse.shape[0], coarse.shape[1], h, w, out)
+    return out
 
 
 class NativeWeakAugmentation:

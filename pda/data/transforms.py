@@ -16,6 +16,8 @@ my_livecell.py:146.
 
 from __future__ import annotations
 
+import os
+
 from typing import Callable, Optional, Sequence, Tuple
 
 import numpy as np
@@ -213,6 +215,10 @@ class JointAugmentations:
         step = max(int(self.sigma), 2)
         gh, gw = h // step + 3, w // step + 3
         coarse = rng.standard_normal((gh, gw)).astype(np.float32)
+        from . import native
+
+        if native.available() and os.environ.get("PDA_NATIVE_AUGS", "1") != "0":
+            return native.field_upsample(coarse, h, w)
         # bilinear upsample coarse -> (h, w)
         ys = np.linspace(0, gh - 1.001, h, dtype=np.float32)
         xs = np.linspace(0, gw - 1.001, w, dtype=np.float32)
@@ -232,8 +238,6 @@ class JointAugmentations:
         )
 
     def _elastic(self, arrays, rng: np.random.Generator):
-        from scipy.ndimage import map_coordinates
-
         h, w = arrays[0].shape[:2]
         dy = self._field(h, w, rng)
         dx = self._field(h, w, rng)
@@ -241,20 +245,31 @@ class JointAugmentations:
         norm = max(np.abs(dy).max(), np.abs(dx).max(), 1e-8)
         dy = dy * (self.alpha / norm)
         dx = dx * (self.alpha / norm)
-        yy, xx = np.meshgrid(np.arange(h), np.arange(w), indexing="ij")
-        coords = np.stack([yy + dy, xx + dx])
+
+        from . import native
+
+        use_native = native.available() and os.environ.get(
+            "PDA_NATIVE_AUGS", "1"
+        ) != "0"
+
+        def warp2d(a, order):
+            if use_native:
+                return native.elastic_warp(a, dy, dx, order=order)
+            from scipy.ndimage import map_coordinates
+
+            yy, xx = np.meshgrid(np.arange(h), np.arange(w), indexing="ij")
+            return map_coordinates(
+                a, np.stack([yy + dy, xx + dx]), order=order, mode="reflect"
+            )
 
         out = []
         for i, a in enumerate(arrays):
             order = 1 if i == 0 else 0  # raw bilinear, labels/masks nearest
             if a.ndim == 2:
-                warped = map_coordinates(a, coords, order=order, mode="reflect")
+                warped = warp2d(a, order)
             else:
                 warped = np.stack(
-                    [
-                        map_coordinates(a[..., c], coords, order=order, mode="reflect")
-                        for c in range(a.shape[-1])
-                    ],
+                    [warp2d(a[..., c], order) for c in range(a.shape[-1])],
                     axis=-1,
                 )
             out.append(warped.astype(a.dtype, copy=False))

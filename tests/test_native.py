@@ -68,3 +68,48 @@ class TestNative:
         )
         x, x1, x2, y = ds[0]
         assert x1.shape == (32, 32, 1) and np.isfinite(x1).all()
+
+
+class TestElasticWarpNative:
+    """Native elastic warp + field upsample vs the scipy/numpy references."""
+
+    def test_warp_matches_scipy(self):
+        native = pytest.importorskip("pda.data.native")
+        if not native.available():
+            pytest.skip("native lib unavailable")
+        scipy_nd = pytest.importorskip("scipy.ndimage")
+        rng = np.random.default_rng(0)
+        a = rng.normal(size=(64, 48)).astype(np.float32)
+        dy = (rng.normal(size=(64, 48)) * 9).astype(np.float32)
+        dx = (rng.normal(size=(64, 48)) * 9).astype(np.float32)
+        yy, xx = np.meshgrid(np.arange(64), np.arange(48), indexing="ij")
+        coords = np.stack([yy + dy, xx + dx])
+        for order in (0, 1):
+            ref = scipy_nd.map_coordinates(a, coords, order=order, mode="reflect")
+            out = native.elastic_warp(a, dy, dx, order=order)
+            np.testing.assert_allclose(out, ref, rtol=1e-4, atol=1e-4)
+
+    def test_field_matches_numpy(self, monkeypatch):
+        native = pytest.importorskip("pda.data.native")
+        if not native.available():
+            pytest.skip("native lib unavailable")
+        from pda.data.transforms import JointAugmentations
+
+        j = JointAugmentations()
+        monkeypatch.setenv("PDA_NATIVE_AUGS", "0")
+        f_np = j._field(96, 80, np.random.default_rng(3))
+        monkeypatch.setenv("PDA_NATIVE_AUGS", "1")
+        f_nat = j._field(96, 80, np.random.default_rng(3))
+        np.testing.assert_allclose(f_nat, f_np, rtol=1e-5, atol=1e-5)
+
+    def test_joint_augs_deterministic_native(self):
+        from pda.data.transforms import JointAugmentations
+
+        j = JointAugmentations(p_elastic=1.0)
+        img = np.random.default_rng(0).normal(size=(64, 64)).astype(np.float32)
+        lab = (img > 0).astype(np.float32)
+        o1 = j([img, lab], np.random.default_rng(9))
+        o2 = j([img, lab], np.random.default_rng(9))
+        for a, b in zip(o1, o2):
+            np.testing.assert_array_equal(a, b)
+        assert set(np.unique(o1[1])) <= {0.0, 1.0}  # labels stay binary
