@@ -74,10 +74,13 @@ def _punet_loss(model: ProbabilisticUnet, params, x, segm, key, consm=None):
     return loss, aux
 
 
-#: Use the Pallas fused MC kernel inside train steps. Default False: measured
-#: on v5e, XLA's fusion of the vmapped shared-feature tail is already at
-#: parity (13.3 vs 12.7 patches/s at 512^2 MC-16), so the kernel is kept as
-#: an opt-in (and for the inference pipeline, where batches are tile stacks).
+#: Use the Pallas fused MC kernel inside train steps. Default False — measured
+#: on v5e (round 2, with the Pallas conv-block encode) at BOTH hot geometries,
+#: XLA's vmapped shared-feature tail wins:
+#:   train  512^2 bs2 MC-16: encode+tail 25.0 ms XLA vs 29.9 ms Pallas-tail
+#:   pseudo 704^2 bs1 MC-16: encode+tail 21.1 ms XLA vs 26.4 ms Pallas-tail
+#: XLA fuses the sigmoid/threshold reductions into the vmapped decode well
+#: enough that the kernel's HBM savings don't pay; kept as an opt-in.
 USE_PALLAS_MC = False
 
 
