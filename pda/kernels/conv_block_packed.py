@@ -1,0 +1,291 @@
+"""Pallas TPU kernel: lane-PACKED fused 3x(conv3x3+bias+relu) block forward.
+
+Variant of pda.kernels.conv_block for the ``Cout = 64`` block geometries
+(the PUNet's level-0 blocks: backbone/prior/posterior first blocks and the
+last decoder block — all at the full 512^2 resolution, the step's hottest
+tensors). The base kernel streams (flat_positions, 64)-lane operands, which
+wastes half of every 128-lane vector register and was measured at ~137 GB/s
+HBM streaming vs ~205 GB/s for 128-lane blocks, and runs (.., 64) @ (64, ..)
+contractions at half MXU utilization.
+
+This kernel packs PAIRS of adjacent flat spatial positions into one 128-lane
+row:
+
+  * canvas: (H + 2*MARGIN) rows x Wp cols (Wp a multiple of 32) flattened
+    and pair-packed to ((H+8) * wpp, 2*C) with wpp = Wp/2; row q holds
+    channels of flat positions 2q (lanes [0, C)) and 2q+1 (lanes [C, 2C)).
+  * a row shift of one image row is wpp packed rows (sublane-aligned:
+    wpp % 16 == 0); the +-1-flat-position dx taps become +-1 PACKED-row
+    shifts combined with a lane-half select (see the "mixed" operand below).
+  * per conv layer and dy tap the stencil runs TWO (.., 2*Cin) @ (2*Cin,
+    2*Cout) contractions (2*Cin = 2*Cout = 128 at the target geometry: full
+    MXU): a CENTER matmul consuming pair P with the dual-half block weights
+       Wc = [[W1, W0], [W2, W1]]   (rows: even/odd input half; cols:
+                                    even/odd output half; Wk = tap k)
+    and a MIXED matmul whose operand takes its even-half lanes from pair
+    P+1 (holding flat position 2P+2) and its odd-half lanes from pair P-1
+    (flat 2P-1):
+       Wm = [[0, W2], [W0, 0]]
+    Together: out[2P]   = W0 in[2P-1] + W1 in[2P]   + W2 in[2P+1]
+              out[2P+1] = W0 in[2P]   + W1 in[2P+1] + W2 in[2P+2].
+  * base convention (as in the unpacked kernel, in packed-row units): layer
+    l's buffer holds value(row r, packed col cp) at index
+    (r - l)*wpp + cp - l, which keeps every stencil slice offset at
+    dy*wpp + {0, 1, 2} >= 0.
+  * masking: with MARGIN and W even, a packed pair is either fully inside
+    or fully outside the image, so the ring/garbage re-zeroing mask is a
+    single per-packed-row predicate (no lane-half select).
+
+Measured on v5e at the 512^2 1->64 block (B=2, bf16): ~1.9x the unpacked
+kernel's forward throughput. The matching packed backward lives in
+pda.kernels.conv_block_packed_bwd.
+
+Reference semantics: prob_utils/my_models/unet_blocks.py DownConvBlock /
+probabilistic_unet.py:44-63 (3x SAME conv3x3 + ReLU chains).
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+MARGIN = 4          # zero-ring width in flat positions (even, >= 3-conv halo)
+HALO_IMG_ROWS = 8   # halo band height in image rows
+PAD_TAIL = 24       # packed-row zero tail (>= 2*wpp overrun never happens;
+                    # actual overrun budget is 17 packed rows)
+TAILS = (16, 8, 0)  # per-layer packed-row output tails
+
+
+def _round32(n: int) -> int:
+    return ((n + 31) // 32) * 32
+
+
+def packed_wpp(w: int) -> int:
+    """Packed positions per canvas row (multiple of 16)."""
+    return _round32(w + 2 * MARGIN) // 2
+
+
+def canvas_packed(x: jax.Array, wpp: int) -> jax.Array:
+    """(B, H, W, C) -> (B, (H+2*MARGIN)*wpp, 2C) pair-packed zero-ring canvas."""
+    b, h, w, c = x.shape
+    canvas = jnp.zeros((b, h + 2 * MARGIN, 2 * wpp, c), x.dtype)
+    canvas = jax.lax.dynamic_update_slice(canvas, x, (0, MARGIN, MARGIN, 0))
+    return canvas.reshape(b, (h + 2 * MARGIN) * wpp, 2 * c)
+
+
+def uncanvas_packed(out: jax.Array, h: int, w: int) -> jax.Array:
+    """Kernel output (B, H*wpp, 2C) -> (B, H, W, C) (crop ring columns)."""
+    b, _, c2 = out.shape
+    c = c2 // 2
+    wpp = packed_wpp(w)
+    img = out.reshape(b, h, 2 * wpp, c)
+    return img[:, :, MARGIN : MARGIN + w, :]
+
+
+def band_views_packed(rt: int, wpp: int, lanes: int):
+    """(core, halo) BlockSpecs over the packed canvas; rt image rows/band."""
+    assert rt % HALO_IMG_ROWS == 0, rt
+    core = pl.BlockSpec(
+        (1, rt * wpp, lanes), lambda i, n: (i, n, 0), memory_space=pltpu.VMEM
+    )
+    ratio = rt // HALO_IMG_ROWS
+    halo = pl.BlockSpec(
+        (1, HALO_IMG_ROWS * wpp, lanes),
+        lambda i, n: (i, (n + 1) * ratio, 0),
+        memory_space=pltpu.VMEM,
+    )
+    return core, halo
+
+
+def assemble_band(core_ref, halo_ref, dtype):
+    zeros = jnp.zeros((PAD_TAIL, core_ref.shape[-1]), dtype)
+    return jnp.concatenate([core_ref[0], halo_ref[0], zeros], axis=0)
+
+
+def pack_weights(w: jax.Array):
+    """HWIO (3, 3, Cin, Cout) -> (Wc, Wm), each (3_dy, 2*Cin, 2*Cout)."""
+    zeros = jnp.zeros_like(w[:, 0])
+    wc = jnp.concatenate(
+        [
+            jnp.concatenate([w[:, 1], w[:, 0]], axis=-1),
+            jnp.concatenate([w[:, 2], w[:, 1]], axis=-1),
+        ],
+        axis=-2,
+    )
+    wm = jnp.concatenate(
+        [
+            jnp.concatenate([zeros, w[:, 2]], axis=-1),
+            jnp.concatenate([w[:, 0], zeros], axis=-1),
+        ],
+        axis=-2,
+    )
+    return wc, wm
+
+
+def stencil_packed(h, wc_ref, wm_ref, l_out: int, off0: int, headroom: int):
+    """Packed conv stencil: f32 accumulator of length l_out + headroom.
+
+    Reads h at offsets off0 + dy*wpp + {0 (left pair), 1 (center), 2 (right
+    pair)} where wpp is baked into the refs' geometry via the caller's
+    closure — pass slices' wpp through ``stencil_wpp`` partial instead.
+    """
+    raise NotImplementedError  # replaced by _make_stencil below
+
+
+def _make_stencil(wpp: int):
+    def stencil(h, wc_ref, wm_ref, l_out: int, off0: int, headroom: int):
+        n_out = l_out + headroom
+        cin2 = h.shape[-1]
+        half = cin2 // 2
+        lane = jax.lax.broadcasted_iota(jnp.int32, (n_out, cin2), 1)
+        top = lane < half
+        acc = None
+        for dy in (0, 1, 2):
+            base = off0 + dy * wpp
+            center = h[base + 1 : base + 1 + n_out, :]
+            left = h[base : base + n_out, :]
+            right = h[base + 2 : base + 2 + n_out, :]
+            mixed = jnp.where(top, right, left)
+            r = jax.lax.dot_general(
+                center, wc_ref[dy],
+                (((1,), (0,)), ((), ())), preferred_element_type=jnp.float32)
+            r = r + jax.lax.dot_general(
+                mixed, wm_ref[dy],
+                (((1,), (0,)), ((), ())), preferred_element_type=jnp.float32)
+            acc = r if acc is None else acc + r
+        return acc
+
+    return stencil
+
+
+def _make_img_mask(wpp: int, rt: int, h_img: int, w_img: int):
+    """Per-packed-row validity for base-b buffers (W, MARGIN even => the two
+    flat positions of a pair share one validity bit)."""
+
+    def img_mask(n, n_out: int, base: int):
+        q = jax.lax.broadcasted_iota(jnp.int32, (n_out, 1), 0) + base * (wpp + 1)
+        # exact floor(q / wpp) via float reciprocal + correction (no int div)
+        qr = jnp.floor(q.astype(jnp.float32) * (1.0 / wpp)).astype(jnp.int32)
+        cp = q - qr * wpp
+        fix = (cp >= wpp).astype(jnp.int32) - (cp < 0).astype(jnp.int32)
+        qr = qr + fix
+        cp = q - qr * wpp
+        g_row = n * rt + qr - MARGIN
+        return (
+            (g_row >= 0) & (g_row < h_img)
+            & (cp >= MARGIN // 2) & (cp < w_img // 2 + MARGIN // 2)
+        )
+
+    return img_mask
+
+
+def _kernel(
+    xc_ref, xh_ref,
+    wc1_ref, wm1_ref, b1_ref,
+    wc2_ref, wm2_ref, b2_ref,
+    wc3_ref, wm3_ref, b3_ref,
+    o_ref, *rest,
+    rt: int, wpp: int, h_img: int, w_img: int, dtype,
+    save_intermediates: bool = False,
+):
+    n = pl.program_id(1)
+    stencil = _make_stencil(wpp)
+    img_mask = _make_img_mask(wpp, rt, h_img, w_img)
+
+    def layer(h, wc_ref, wm_ref, b_ref, l_out, tail, base, mask):
+        n_out = l_out + tail
+        acc = stencil(h, wc_ref, wm_ref, l_out, 0, tail)
+        out = jnp.maximum(acc + b_ref[0][None, :], 0.0)
+        if mask:
+            out = jnp.where(img_mask(n, n_out, base), out, 0.0)
+        return out.astype(dtype)
+
+    x = assemble_band(xc_ref, xh_ref, dtype)
+    h1 = layer(x, wc1_ref, wm1_ref, b1_ref, (rt + 6) * wpp, TAILS[0], 1, True)
+    h2 = layer(h1, wc2_ref, wm2_ref, b2_ref, (rt + 4) * wpp, TAILS[1], 2, True)
+    h3 = layer(h2, wc3_ref, wm3_ref, b3_ref, (rt + 2) * wpp, TAILS[2], 3, False)
+    o_ref[0] = h3[wpp - 3 : wpp - 3 + rt * wpp, :]
+    if save_intermediates:
+        h1_ref, h2_ref = rest
+        h1_ref[0] = h1[3 * wpp - 1 : 3 * wpp - 1 + rt * wpp, :]
+        h2_ref[0] = h2[2 * wpp - 2 : 2 * wpp - 2 + rt * wpp, :]
+
+
+def conv_block_packed_canvas(
+    xc: jax.Array,  # (B, (H+8)*wpp, 2*Cin) packed canvas
+    h: int, w: int,
+    w1, b1, w2, b2, w3, b3,
+    *,
+    row_tile: int = 32,
+    interpret: bool = False,
+    save_intermediates: bool = False,
+):
+    """Fused packed block forward on a prebuilt canvas. Returns the packed
+    margin-0 flat output (B, H*wpp, 2C) (plus packed h1, h2 flats when
+    ``save_intermediates``)."""
+    b = xc.shape[0]
+    cin2 = xc.shape[-1]
+    c = w1.shape[-1]
+    rt = min(row_tile, h)
+    assert h % rt == 0 and rt % HALO_IMG_ROWS == 0, (h, rt)
+    nb = h // rt
+    wpp = packed_wpp(w)
+    dtype = xc.dtype
+
+    kernel = functools.partial(
+        _kernel, rt=rt, wpp=wpp, h_img=h, w_img=w, dtype=dtype,
+        save_intermediates=save_intermediates,
+    )
+    core, halo = band_views_packed(rt, wpp, cin2)
+    wspec = pl.BlockSpec(memory_space=pltpu.VMEM)
+    ospec = pl.BlockSpec(
+        (1, rt * wpp, 2 * c), lambda i, n: (i, n, 0), memory_space=pltpu.VMEM
+    )
+    oshape = jax.ShapeDtypeStruct((b, nb * rt * wpp, 2 * c), dtype)
+
+    packed = []
+    for wk, bk in ((w1, b1), (w2, b2), (w3, b3)):
+        wc, wm = pack_weights(wk.astype(dtype))
+        packed += [wc, wm, jnp.tile(bk.astype(jnp.float32), 2)[None, :]]
+
+    out = pl.pallas_call(
+        kernel,
+        grid=(b, nb),
+        in_specs=[core, halo] + [wspec] * 9,
+        out_specs=(ospec, ospec, ospec) if save_intermediates else ospec,
+        out_shape=(oshape, oshape, oshape) if save_intermediates else oshape,
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=120 * 1024 * 1024
+        ),
+        interpret=interpret,
+    )(xc, xc, *packed)
+    return out
+
+
+@functools.partial(
+    jax.jit, static_argnames=("row_tile", "interpret", "out_dtype")
+)
+def conv_block_packed(
+    x: jax.Array,  # (B, H, W, Cin)
+    w1: jax.Array, b1: jax.Array,
+    w2: jax.Array, b2: jax.Array,
+    w3: jax.Array, b3: jax.Array,
+    *,
+    row_tile: int = 32,
+    interpret: bool = False,
+    out_dtype=None,
+) -> jax.Array:
+    """Packed fused ConvBlock forward (3x SAME conv3x3 + bias + relu)."""
+    b, h, w, cin = x.shape
+    if out_dtype is not None:
+        x = x.astype(out_dtype)
+    xc = canvas_packed(x, packed_wpp(w))
+    out = conv_block_packed_canvas(
+        xc, h, w, w1, b1, w2, b2, w3, b3,
+        row_tile=row_tile, interpret=interpret,
+    )
+    return uncanvas_packed(out, h, w)

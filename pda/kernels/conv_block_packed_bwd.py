@@ -1,0 +1,253 @@
+"""Pallas TPU kernel: lane-packed fused backward of the 3x(conv3x3+relu) block.
+
+Companion to pda.kernels.conv_block_packed (see its module docstring for the
+pair-packed canvas layout, the center/mixed dual-matmul stencil and the base
+convention). One kernel invocation per (batch image, row band) computes in
+VMEM:
+
+  * the relu-masked gradient chain da3 -> da2 -> da1 -> dx, with the dgrad
+    convolutions (spatially flipped, io-swapped kernels) running the same
+    packed center+mixed stencil as the forward;
+  * per-band weight-gradient partials as lane-packed big-K contractions:
+    for each dy tap, THREE row-shifted (rt*wpp, 2Ci)^T @ (rt*wpp, 2Co)
+    matmuls M[s], s in {-1, 0, +1} packed rows around the tap's row offset.
+    Each (dy, dx) HWIO tap is the sum of two QUADRANTS of these:
+        dW[dy][0] = M[-1][bl] + M[0][tr]
+        dW[dy][1] = M[ 0][tl] + M[0][br]
+        dW[dy][2] = M[ 0][bl] + M[+1][tr]
+    (quadrants of the (2Ci, 2Co) result: t/b = even/odd input half,
+    l/r = even/odd cotangent half), because a flat-position shift of
+    2s (+-1) decomposes into a packed-row shift s plus a lane-half swap.
+  * bias-gradient partials (summed lane halves on the host side).
+
+Requires the forward's streamed intermediates h1/h2 (the production
+custom-VJP path always saves them); there is no in-kernel recompute variant.
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+from .conv_block_packed import (
+    HALO_IMG_ROWS,
+    MARGIN,
+    _make_img_mask,
+    _make_stencil,
+    assemble_band,
+    band_views_packed,
+    canvas_packed,
+    pack_weights,
+    packed_wpp,
+)
+
+
+def _prep_dgrad(w: jax.Array):
+    """HWIO -> packed (Wc, Wm) blocks of the input-gradient conv (flipped,
+    io-swapped kernel)."""
+    return pack_weights(jnp.flip(w, axis=(0, 1)).transpose(0, 1, 3, 2))
+
+
+def _kernel(
+    xc_ref, xh_ref, gc_ref, gh_ref, h3c_ref, h3h_ref,
+    h1c_ref, h1h_ref, h2c_ref, h2h_ref,
+    wd1c_ref, wd1m_ref, wd2c_ref, wd2m_ref, wd3c_ref, wd3m_ref,
+    dx_ref, dw1_ref, db1_ref, dw2_ref, db2_ref, dw3_ref, db3_ref,
+    *,
+    rt: int, wpp: int, h_img: int, w_img: int, dtype,
+):
+    stencil = _make_stencil(wpp)
+
+    x = assemble_band(xc_ref, xh_ref, dtype)
+    g = assemble_band(gc_ref, gh_ref, dtype)
+    h3 = assemble_band(h3c_ref, h3h_ref, dtype)
+    h1b = assemble_band(h1c_ref, h1h_ref, dtype)
+    h2b = assemble_band(h2c_ref, h2h_ref, dtype)
+
+    # Base chain 0 -> 1 -> 2 -> 3: unlike the unpacked kernel (margin 4 flat
+    # positions >= any base) the packed column margin is only MARGIN/2 = 2
+    # packed cols, so a base-4 dx buffer would push the first image pairs of
+    # each band's first owned row to negative indices. Keeping every base
+    # <= 3 and slicing owned rows at wpp - 3 (like the forward's h3) stays
+    # in-range: value(r=4, cp=0) sits at j = wpp - 3.
+    l_da2 = (rt + 5) * wpp
+    l_da1 = (rt + 3) * wpp
+    l_dx = (rt + 1) * wpp
+
+    # da3 (base 0, full band): g * relu'(h3); ring lanes zero via g's ring
+    da3 = jnp.where(h3.astype(jnp.float32) > 0.0, g, 0).astype(dtype)
+
+    # da2 (base 1): dgrad of da3 (base jump 1 -> off0 = 0); relu'(h2)
+    h2_for_da2 = h2b[(wpp + 1) : (wpp + 1) + l_da2 + 16, :]
+    r2 = stencil(da3, wd3c_ref, wd3m_ref, l_da2, 0, 16)
+    da2 = jnp.where(h2_for_da2.astype(jnp.float32) > 0.0, r2, 0.0).astype(dtype)
+
+    # da1 (base 2): dgrad of da2 (jump 1 -> off0 = 0); relu'(h1)
+    h1_for_da1 = h1b[2 * (wpp + 1) : 2 * (wpp + 1) + l_da1 + 8, :]
+    r1 = stencil(da2, wd2c_ref, wd2m_ref, l_da1, 0, 8)
+    da1 = jnp.where(h1_for_da1.astype(jnp.float32) > 0.0, r1, 0.0).astype(dtype)
+
+    # dx (base 3): owned rows [4, rt+4) start at j = wpp - 3
+    r_dx = stencil(da1, wd1c_ref, wd1m_ref, l_dx, 0, 0)
+    dx_ref[0] = r_dx[wpp - 3 : wpp - 3 + rt * wpp, :].astype(dtype)
+
+    # ---- packed weight/bias gradient partials over owned rows [4, rt+4)
+    def wgrad(h_in, base_i: int, da, base_o: int, dw_ref, db_ref):
+        own0 = (MARGIN - base_o) * wpp - base_o
+        da_own = da[own0 : own0 + rt * wpp, :]
+        for dy in range(3):
+            for s_idx, s_off in enumerate((-1, 0, 1)):
+                start = (MARGIN + dy - 1 - base_i) * wpp - base_i + s_off
+                dw_ref[0, 0, dy * 3 + s_idx] = jax.lax.dot_general(
+                    h_in[start : start + rt * wpp, :], da_own,
+                    (((0,), (0,)), ((), ())),
+                    preferred_element_type=jnp.float32,
+                )
+        db_ref[0, 0] = jnp.sum(
+            da_own.astype(jnp.float32), axis=0, keepdims=True)
+
+    wgrad(h2b, 0, da3, 0, dw3_ref, db3_ref)
+    wgrad(h1b, 0, da2, 1, dw2_ref, db2_ref)
+    wgrad(x, 0, da1, 2, dw1_ref, db1_ref)
+
+
+def _assemble_dw(p: jax.Array, ci: int, co: int) -> jax.Array:
+    """(B, nb, 9, 2Ci, 2Co) packed partials -> HWIO (3, 3, ci, co) f32."""
+    m = jnp.sum(p, axis=(0, 1)).reshape(3, 3, 2 * ci, 2 * co)
+    tl = m[:, :, :ci, :co]
+    tr = m[:, :, :ci, co:]
+    bl = m[:, :, ci:, :co]
+    br = m[:, :, ci:, co:]
+    # s index: 0 -> -1, 1 -> 0, 2 -> +1 packed rows
+    taps = [
+        bl[:, 0] + tr[:, 1],   # dx = 0  (flat off = D - 1)
+        tl[:, 1] + br[:, 1],   # dx = 1  (flat off = D)
+        bl[:, 1] + tr[:, 2],   # dx = 2  (flat off = D + 1)
+    ]
+    return jnp.stack(taps, axis=1)  # (3_dy, 3_dx, ci, co)
+
+
+@functools.partial(jax.jit, static_argnames=("h", "w", "row_tile", "interpret"))
+def conv_block_packed_bwd_canvas(
+    xc: jax.Array,   # (B, (H+8)*wpp, 2*Cin) packed canvas of the fwd input
+    h3p: jax.Array,  # (B, (H+8)*wpp, 2*C) packed fwd output, row-padded
+    gc: jax.Array,   # (B, (H+8)*wpp, 2*C) packed canvas of the cotangent
+    h1p: jax.Array, h2p: jax.Array,  # packed row-padded fwd intermediates
+    h: int, w: int,
+    w1: jax.Array, w2: jax.Array, w3: jax.Array,
+    *,
+    row_tile: int = 16,
+    interpret: bool = False,
+):
+    """Returns (dx, dw1, db1, dw2, db2, dw3, db3); dw in HWIO f32."""
+    b = xc.shape[0]
+    cin = xc.shape[-1] // 2
+    c = w1.shape[-1]
+    rt = min(row_tile, h)
+    assert h % rt == 0 and rt % HALO_IMG_ROWS == 0, (h, rt)
+    nb = h // rt
+    wpp = packed_wpp(w)
+    dtype = xc.dtype
+
+    kernel = functools.partial(
+        _kernel, rt=rt, wpp=wpp, h_img=h, w_img=w, dtype=dtype)
+    vmem = pl.BlockSpec(memory_space=pltpu.VMEM)
+    xcore, xhalo = band_views_packed(rt, wpp, 2 * cin)
+    gcore, ghalo = band_views_packed(rt, wpp, 2 * c)
+
+    def dw_specs(ci):
+        return (
+            pl.BlockSpec((1, 1, 9, 2 * ci, 2 * c), lambda i, n: (i, n, 0, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 1, 1, 2 * c), lambda i, n: (i, n, 0, 0),
+                         memory_space=pltpu.VMEM),
+        )
+
+    def dw_shapes(ci):
+        return (
+            jax.ShapeDtypeStruct((b, nb, 9, 2 * ci, 2 * c), jnp.float32),
+            jax.ShapeDtypeStruct((b, nb, 1, 2 * c), jnp.float32),
+        )
+
+    out_shapes = (
+        jax.ShapeDtypeStruct((b, nb * rt * wpp, 2 * cin), dtype),
+        *dw_shapes(cin), *dw_shapes(c), *dw_shapes(c),
+    )
+    out_specs = (
+        pl.BlockSpec((1, rt * wpp, 2 * cin), lambda i, n: (i, n, 0),
+                     memory_space=pltpu.VMEM),
+        *dw_specs(cin), *dw_specs(c), *dw_specs(c),
+    )
+
+    wd = []
+    for wk in (w1, w2, w3):
+        wc, wm = _prep_dgrad(wk.astype(dtype))
+        wd += [wc, wm]
+    outs = pl.pallas_call(
+        kernel,
+        grid=(b, nb),
+        in_specs=[
+            xcore, xhalo, gcore, ghalo, gcore, ghalo,
+            gcore, ghalo, gcore, ghalo,
+            vmem, vmem, vmem, vmem, vmem, vmem,
+        ],
+        out_specs=out_specs,
+        out_shape=out_shapes,
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=120 * 1024 * 1024),
+        interpret=interpret,
+    )(xc, xc, gc, gc, h3p, h3p, h1p, h1p, h2p, h2p, *wd)
+    dx_b, dw1p, db1p, dw2p, db2p, dw3p, db3p = outs
+
+    # dx: the in-kernel owned-row slice already landed on the margin-0 packed
+    # flat layout; unpack pairs and crop the ring columns
+    dx = dx_b.reshape(b, h, 2 * wpp, cin)[:, :, MARGIN : MARGIN + w, :]
+
+    def _db(p):
+        s = jnp.sum(p, axis=(0, 1))[0]
+        return s[:c] + s[c:]
+
+    return (
+        dx,
+        _assemble_dw(dw1p, cin, c), _db(db1p),
+        _assemble_dw(dw2p, c, c), _db(db2p),
+        _assemble_dw(dw3p, c, c), _db(db3p),
+    )
+
+
+def packed_row_pad(flat: jax.Array, h: int, w: int) -> jax.Array:
+    """Packed margin-0 flat (B, H*wpp, 2C) -> (B, (H+8)*wpp, 2C) with MARGIN
+    zero canvas rows above/below (ring columns stay garbage — neutralized by
+    the cotangent canvas's zero ring and the fwd's in-kernel h1/h2 masks)."""
+    b, _, c2 = flat.shape
+    wpp = packed_wpp(w)
+    z = jnp.zeros((b, MARGIN * wpp, c2), flat.dtype)
+    return jnp.concatenate([z, flat, z], axis=1)
+
+
+@functools.partial(jax.jit, static_argnames=("row_tile", "interpret"))
+def conv_block_packed_bwd(
+    x: jax.Array,   # (B, H, W, Cin) forward input
+    h1: jax.Array, h2: jax.Array, h3: jax.Array,  # forward activations
+    g: jax.Array,   # (B, H, W, C) upstream cotangent
+    w1: jax.Array, w2: jax.Array, w3: jax.Array,
+    *,
+    row_tile: int = 16,
+    interpret: bool = False,
+):
+    """Standalone entry: packs the canvases, then conv_block_packed_bwd_canvas."""
+    b, h, w, cin = x.shape
+    wpp = packed_wpp(w)
+    xc = canvas_packed(x, wpp)
+    gc = canvas_packed(g.astype(x.dtype), wpp)
+    h1c = canvas_packed(h1.astype(x.dtype), wpp)
+    h2c = canvas_packed(h2.astype(x.dtype), wpp)
+    h3c = canvas_packed(h3.astype(x.dtype), wpp)
+    return conv_block_packed_bwd_canvas(
+        xc, h3c, gc, h1c, h2c, h, w, w1, w2, w3,
+        row_tile=row_tile, interpret=interpret,
+    )

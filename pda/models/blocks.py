@@ -291,6 +291,75 @@ def _conv3p_bwd(res, g):
 conv3_relu_pallas.defvjp(_conv3p_fwd, _conv3p_bwd)
 
 
+# ---------------------------------------------------------------------------
+# Lane-PACKED Pallas path for the Cout=64 block geometries (level-0 blocks at
+# 512^2 — the step's hottest tensors). Packs adjacent spatial-position pairs
+# into full 128-lane rows: 2x MXU utilization for the (.., 64)-channel
+# contractions and ~1.5x HBM streaming efficiency vs the 64-lane layout.
+# See pda/kernels/conv_block_packed.py for the kernel design.
+# ---------------------------------------------------------------------------
+
+
+def _packed_fwd_row_tile(h: int, cin: int, c: int) -> int:
+    if h >= 512:
+        return _fit_tile(h, 16 if cin > 64 else 32)
+    return _fit_tile(h, min(32, h))
+
+
+def _packed_bwd_row_tile(h: int, cin: int, c: int) -> int:
+    if h >= 512:
+        return _fit_tile(h, 8 if cin > 64 else 16)
+    return _fit_tile(h, min(16, h))
+
+
+@jax.custom_vjp
+def conv3_relu_packed(x, w1, b1, w2, b2, w3, b3):
+    from ..kernels.conv_block_packed import conv_block_packed
+
+    rt = _packed_fwd_row_tile(x.shape[1], x.shape[-1], w1.shape[-1])
+    return conv_block_packed(x, w1, b1, w2, b2, w3, b3, row_tile=rt)
+
+
+def _conv3pk_fwd(x, w1, b1, w2, b2, w3, b3):
+    from ..kernels.conv_block_packed import (
+        canvas_packed,
+        conv_block_packed_canvas,
+        packed_wpp,
+        uncanvas_packed,
+    )
+
+    h, w = x.shape[1], x.shape[2]
+    rt = _packed_fwd_row_tile(h, x.shape[-1], w1.shape[-1])
+    xc = canvas_packed(x, packed_wpp(w))
+    out_flat, h1_flat, h2_flat = conv_block_packed_canvas(
+        xc, h, w, w1, b1, w2, b2, w3, b3, row_tile=rt, save_intermediates=True
+    )
+    return uncanvas_packed(out_flat, h, w), (
+        xc, out_flat, h1_flat, h2_flat, (h, w), w1, b1, w2, b2, w3
+    )
+
+
+def _conv3pk_bwd(res, g):
+    from ..kernels.conv_block_packed import canvas_packed, packed_wpp
+    from ..kernels.conv_block_packed_bwd import (
+        conv_block_packed_bwd_canvas,
+        packed_row_pad,
+    )
+
+    xc, out_flat, h1_flat, h2_flat, (h, w), w1, b1, w2, b2, w3 = res
+    rt = _packed_bwd_row_tile(h, xc.shape[-1] // 2, w1.shape[-1])
+    gc = canvas_packed(g.astype(xc.dtype), packed_wpp(w))
+    dx, dw1, db1, dw2, db2, dw3, db3 = conv_block_packed_bwd_canvas(
+        xc, packed_row_pad(out_flat, h, w), gc,
+        packed_row_pad(h1_flat, h, w), packed_row_pad(h2_flat, h, w),
+        h, w, w1, w2, w3, row_tile=rt,
+    )
+    return dx, dw1, db1, dw2, db2, dw3, db3
+
+
+conv3_relu_packed.defvjp(_conv3pk_fwd, _conv3pk_bwd)
+
+
 @jax.custom_vjp
 def conv3_relu_mixed(x, w1, b1, w2, b2, w3, b3):
     """XLA convolutions forward (fast, fused by XLA in gradient-free
@@ -372,6 +441,15 @@ class ConvBlock(nn.Module):
 
                 mode = os.environ.get("PDA_PALLAS_CONV_MODE", "full")
                 fn = conv3_relu_mixed if mode == "mixed" else conv3_relu_pallas
+                if (
+                    mode == "full"
+                    and c <= 64
+                    and x.shape[2] % 2 == 0
+                    and _packed_fwd_row_tile(h, cin, c) > 0
+                    and _packed_bwd_row_tile(h, cin, c) > 0
+                    and os.environ.get("PDA_PALLAS_PACKED", "1") != "0"
+                ):
+                    fn = conv3_relu_packed
             return fn(
                 x,
                 params[0].kernel, params[0].bias,
