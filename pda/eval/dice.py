@@ -60,7 +60,13 @@ def run_lung_dice_evaluation(
     for my_path in sorted(glob(gt_f_path + "*")):
         imagename = os.path.basename(my_path)
         if lung_domain == "jsrt2":
+            # JSRT-segmentation02 GT names carry a 6-char annotation suffix
+            # before the extension (reference my_dice_evaluations.py:51-52).
+            # Fall back to the identity mapping when the prediction named by
+            # the remap doesn't exist (non-JSRT naming, e.g. smoke fixtures).
             f_pred_path = os.path.join(pred_path, imagename[:-10] + ".tif")
+            if not os.path.exists(f_pred_path):
+                f_pred_path = os.path.join(pred_path, imagename[:-4] + ".tif")
         else:
             f_pred_path = os.path.join(pred_path, imagename[:-4] + ".tif")
 

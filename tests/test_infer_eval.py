@@ -178,3 +178,34 @@ class TestDiceRunners:
             str(gt_dir) + os.sep, str(pred_dir) + os.sep, "nih", verbose=False
         )
         assert abs(score - 0.5) < 1e-2
+
+    def test_run_lung_dice_evaluation_jsrt2_fallback(self, tmp_path):
+        """jsrt2 remap drops a 6-char annotation suffix; when predictions
+        aren't named that way (e.g. smoke fixtures) the identity mapping
+        must be used instead of failing."""
+        import imageio.v3 as imageio
+
+        gt_dir = tmp_path / "gt"
+        pred_dir = tmp_path / "pred"
+        os.makedirs(gt_dir)
+        os.makedirs(pred_dir)
+        gt = np.zeros((32, 32), dtype=np.uint8)
+        gt[:16] = 255
+        # real-JSRT-style pair: remap drops 10 chars -> pred 'case01.tif'
+        imageio.imwrite(gt_dir / "case01_msk06.png", gt)
+        imageio.imwrite(pred_dir / "case01.tif", (gt > 0).astype(np.float32))
+        score = run_lung_dice_evaluation(
+            str(gt_dir) + os.sep, str(pred_dir) + os.sep, "jsrt2", verbose=False
+        )
+        assert abs(score - 1.0) < 1e-5
+        # synthetic naming: GT 'b.png' -> pred 'b.tif' via the fallback
+        gt2_dir = tmp_path / "gt2"
+        pred2_dir = tmp_path / "pred2"
+        os.makedirs(gt2_dir)
+        os.makedirs(pred2_dir)
+        imageio.imwrite(gt2_dir / "b.png", gt)
+        imageio.imwrite(pred2_dir / "b.tif", (gt > 0).astype(np.float32))
+        score = run_lung_dice_evaluation(
+            str(gt2_dir) + os.sep, str(pred2_dir) + os.sep, "jsrt2", verbose=False
+        )
+        assert abs(score - 1.0) < 1e-5
