@@ -52,11 +52,12 @@ def _kernel(feat_ref, z_ref, mids_ref, mid_b_ref, wl_ref, bl_ref,
     feat = feat_ref[:]  # (1, TR, C) block, compute dtype (f32 or bf16)
     feat = feat[0]
     tr = feat.shape[0]
+    n_out = wl_ref.shape[1]  # 1, or 2 in the lane-packed layout
     dtype = feat.dtype
     b_idx = pl.program_id(0)
 
-    acc_mean = jnp.zeros((tr, 1), jnp.float32)
-    acc_agree = jnp.zeros((tr, 1), jnp.float32)
+    acc_mean = jnp.zeros((tr, n_out), jnp.float32)
+    acc_agree = jnp.zeros((tr, n_out), jnp.float32)
 
     for s in range(n_samples):
         # z rows stay f32 (tiny; bf16 single-row loads break Mosaic tiling)
@@ -82,9 +83,26 @@ def _kernel(feat_ref, z_ref, mids_ref, mid_b_ref, wl_ref, bl_ref,
     cons_ref[:] = (acc_agree * inv)[None]
 
 
+def _block_diag2(w: jax.Array) -> jax.Array:
+    """(Ci, Co) -> (2Ci, 2Co) block-diagonal [[W, 0], [0, W]].
+
+    Lane-packing for the 1x1 tail convs: two spatial positions share a
+    128-lane row; the block-diagonal keeps them independent under one MXU
+    contraction. The off-diagonal zeros occupy MAC slots the 64-wide matmul
+    would have wasted on lane padding anyway, so rows halve at no MAC cost.
+    """
+    ci, co = w.shape
+    z = jnp.zeros_like(w)
+    return jnp.concatenate(
+        [jnp.concatenate([w, z], axis=1), jnp.concatenate([z, w], axis=1)],
+        axis=0,
+    )
+
+
 @functools.partial(
     jax.jit,
-    static_argnames=("n_samples", "masking", "row_tile", "upper", "lower"),
+    static_argnames=("n_samples", "masking", "row_tile", "upper", "lower",
+                     "pack"),
 )
 def mc_consensus_decode(
     feat_term: jax.Array,  # (B, H, W, C) — features @ W_feat (z-independent)
@@ -99,12 +117,26 @@ def mc_consensus_decode(
     row_tile: int = 512,
     upper: float = UPPER_THRESHOLD,
     lower: float = LOWER_THRESHOLD,
+    pack: bool = False,
 ) -> Tuple[jax.Array, jax.Array]:
-    """(pseudo, consensus) of shape (B, H, W, 1), float32."""
+    """(pseudo, consensus) of shape (B, H, W, 1), float32.
+
+    ``pack=True`` lane-packs adjacent spatial positions into 128-lane rows
+    (for C = 64: full vector registers, ~1.5x HBM streaming, half the MXU
+    row count via block-diagonal tail weights). Requires H*W even.
+    """
     b, h, w, c = feat_term.shape
     dtype = feat_term.dtype  # keep the model's compute dtype (f32 or bf16)
     n_mid = mid_kernels.shape[0]
     rows = h * w
+    if pack:
+        assert rows % 2 == 0, (h, w)
+        rows //= 2
+        c *= 2
+        z_terms = jnp.concatenate([z_terms, z_terms], axis=-1)
+        mid_kernels = jax.vmap(_block_diag2)(mid_kernels)
+        mid_biases = jnp.concatenate([mid_biases, mid_biases], axis=-1)
+        last_kernel = _block_diag2(last_kernel)
     assert rows % row_tile == 0, (rows, row_tile)
     flat = feat_term.reshape(b, rows, c)
 
@@ -129,14 +161,14 @@ def mc_consensus_decode(
             pl.BlockSpec((1, 1), memory_space=pltpu.SMEM),
         ],
         out_specs=[
-            pl.BlockSpec((1, row_tile, 1), lambda i, j: (i, j, 0),
-                         memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, row_tile, 1), lambda i, j: (i, j, 0),
-                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, row_tile, 2 if pack else 1),
+                         lambda i, j: (i, j, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, row_tile, 2 if pack else 1),
+                         lambda i, j: (i, j, 0), memory_space=pltpu.VMEM),
         ],
         out_shape=[
-            jax.ShapeDtypeStruct((b, rows, 1), jnp.float32),
-            jax.ShapeDtypeStruct((b, rows, 1), jnp.float32),
+            jax.ShapeDtypeStruct((b, rows, 2 if pack else 1), jnp.float32),
+            jax.ShapeDtypeStruct((b, rows, 2 if pack else 1), jnp.float32),
         ],
     )(
         flat,
@@ -188,11 +220,14 @@ def mc_pseudo_fused(model, params, x, key, n_samples: int, masking: bool):
     z_terms = zs @ zp["kernel"].astype(zs.dtype) + zp["bias"].astype(zs.dtype)
     mid_k, mid_b, last_k, last_b = fcomb_tail_weights(params["fcomb"])
     rows = feat_term.shape[1] * feat_term.shape[2]
+    pack = feat_term.shape[-1] <= 64 and rows % 2 == 0
+    if pack:
+        rows //= 2
     row_tile = 512 if rows % 512 == 0 else int(
         np.gcd(rows, 512 * 512)
     )
     pseudo, consensus = mc_consensus_decode(
         feat_term, z_terms, mid_k, mid_b, last_k, last_b,
-        n_samples=n_samples, masking=masking, row_tile=row_tile,
+        n_samples=n_samples, masking=masking, row_tile=row_tile, pack=pack,
     )
     return pseudo, consensus

@@ -74,17 +74,25 @@ def _punet_loss(model: ProbabilisticUnet, params, x, segm, key, consm=None):
     return loss, aux
 
 
-#: Use the Pallas fused MC kernel inside train steps. Default False — measured
-#: on v5e (round 2, with the Pallas conv-block encode) at BOTH hot geometries,
-#: XLA's vmapped shared-feature tail wins:
-#:   train  512^2 bs2 MC-16: encode+tail 25.0 ms XLA vs 29.9 ms Pallas-tail
-#:   pseudo 704^2 bs1 MC-16: encode+tail 21.1 ms XLA vs 26.4 ms Pallas-tail
-#: XLA fuses the sigmoid/threshold reductions into the vmapped decode well
-#: enough that the kernel's HBM savings don't pay; kept as an opt-in.
+#: Use the Pallas fused MC kernel inside train steps. Default False — XLA's
+#: vmapped shared-feature tail wins at the hot geometry even against the
+#: lane-PACKED kernel variant (mc_consensus.py pack=True: position pairs
+#: share 128-lane rows, block-diagonal tail weights). Measured standalone at
+#: 512^2 bs2 MC-16 on v5e: XLA tail 3.75 ms; kernel 9.1 ms unpacked,
+#: 6.3 ms packed (row_tile 512-2048 indistinguishable); step-level A/B
+#: agreed (18.9 patches/s with the packed kernel vs 19.8 without). The
+#: sample loop's dependent relu->matmul->relu chain can't keep the MXU fed,
+#: while XLA's batched formulation runs the mid conv as one huge matmul.
+#: Env override PDA_PALLAS_MC=0/1 (``None`` = auto: on for TPU).
 USE_PALLAS_MC = False
 
 
 def _pallas_mc_enabled(model) -> bool:
+    import os
+
+    flag = os.environ.get("PDA_PALLAS_MC", "")
+    if flag in ("0", "1"):
+        return flag == "1" and model.num_classes == 1
     if USE_PALLAS_MC is None:
         return jax.default_backend() in ("tpu", "axon") and model.num_classes == 1
     return bool(USE_PALLAS_MC) and model.num_classes == 1

@@ -25,7 +25,8 @@ def _setup(hw=32, batch=2):
 
 class TestMCConsensusKernel:
     @pytest.mark.parametrize("masking", [False, True])
-    def test_matches_xla_path(self, masking):
+    @pytest.mark.parametrize("pack", [False, True])
+    def test_matches_xla_path(self, masking, pack):
         from pda.kernels.mc_consensus import fcomb_tail_weights, mc_consensus_decode
 
         model, params, x = _setup()
@@ -51,7 +52,7 @@ class TestMCConsensusKernel:
         with pltpu.force_tpu_interpret_mode():
             pseudo, cons = mc_consensus_decode(
                 feat_term, z_terms, mid_k, mid_b, last_k, last_b,
-                n_samples=n, masking=masking, row_tile=256,
+                n_samples=n, masking=masking, row_tile=256, pack=pack,
             )
 
         np.testing.assert_allclose(pseudo, ref_pseudo, rtol=1e-5, atol=1e-5)
@@ -252,3 +253,4 @@ class TestConvBlockPackedKernels:
         gx = jax.grad(loss(blk.conv3_relu), argnums=(0, 1, 2))(*args)
         for a, r in zip(gp, gx):
             np.testing.assert_allclose(a, r, rtol=1e-4, atol=1e-5)
+
