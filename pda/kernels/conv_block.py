@@ -89,6 +89,53 @@ def assemble_band(core_ref, halo_ref, dtype):
     return jnp.concatenate([core_ref[0], halo_ref[0], zeros], axis=0)
 
 
+def flat_views(rt: int, wp: int, lanes: int, nb: int):
+    """(up, core, down) BlockSpecs reading a MARGIN-0 flat (B, nb*rt*wp, C)
+    as the margin-4 band of image rows [n*rt - 4, n*rt + rt + 4): 4-row edge
+    blocks with clamped indices; the clamped-in garbage at the first/last
+    band is zero-masked in-kernel by :func:`assemble_flat_band`. Lets the
+    backward stream the forward's flat outputs directly, with no row-padded
+    canvas materialization in XLA."""
+    assert rt % 4 == 0, rt
+    r4 = rt // 4
+    up = pl.BlockSpec(
+        (1, 4 * wp, lanes),
+        lambda i, n: (i, jnp.maximum(n * r4 - 1, 0), 0),
+        memory_space=pltpu.VMEM,
+    )
+    core = pl.BlockSpec(
+        (1, rt * wp, lanes), lambda i, n: (i, n, 0), memory_space=pltpu.VMEM
+    )
+    down = pl.BlockSpec(
+        (1, 4 * wp, lanes),
+        lambda i, n: (i, jnp.minimum((n + 1) * r4, nb * r4 - 1), 0),
+        memory_space=pltpu.VMEM,
+    )
+    return up, core, down
+
+
+def assemble_flat_band(up_ref, core_ref, dn_ref, n, nb, dtype):
+    """Margin-4 band value from flat_views refs — identical content to the
+    canvas-based assemble_band (zero top/bottom margins via the edge masks;
+    zero ring columns provided by the forward's in-kernel output masks)."""
+    up = jnp.where(n == 0, jnp.zeros_like(up_ref[0]), up_ref[0])
+    dn = jnp.where(n == nb - 1, jnp.zeros_like(dn_ref[0]), dn_ref[0])
+    zeros = jnp.zeros((PAD_TAIL, core_ref.shape[-1]), dtype)
+    return jnp.concatenate(
+        [up.astype(dtype), core_ref[0].astype(dtype), dn.astype(dtype), zeros],
+        axis=0,
+    )
+
+
+def flat_m0(x: jax.Array, wp: int) -> jax.Array:
+    """(B, H, W, C) -> the MARGIN-0 flat (B, H*wp, C) with zero ring columns
+    — the layout the forward kernel emits (for standalone backward use)."""
+    b, h, w, c = x.shape
+    buf = jnp.zeros((b, h, wp, c), x.dtype)
+    buf = jax.lax.dynamic_update_slice(buf, x, (0, 0, MARGIN, 0))
+    return buf.reshape(b, h * wp, c)
+
+
 def _regroup(w: jax.Array) -> jax.Array:
     """(3, 3, Cin, Cout) HWIO -> (3_dy, Cin, 3_dx*Cout) for the nocat stencil."""
     return jnp.transpose(w, (0, 2, 1, 3)).reshape(3, w.shape[2], 3 * w.shape[3])
@@ -139,6 +186,8 @@ def _kernel(
     x = assemble_band(xc_ref, xh_ref, dtype)
     h1 = layer(x, w1_ref, b1_ref, (rt + 6) * wp, TAILS[0], 1, True)
     h2 = layer(h1, w2_ref, b2_ref, (rt + 4) * wp, TAILS[1], 2, True)
+    # h3 needs no mask even as a backward flat stream: it only gates
+    # relu'(h3) against the cotangent, whose canvas has a zero ring
     h3 = layer(h2, w3_ref, b3_ref, (rt + 2) * wp, TAILS[2], 3, False)
     # own output rows [4, rt+4): slice the base-3 buffer at idx(3, 4, 0)
     o_ref[0] = h3[wp - 3 : wp - 3 + rt * wp, :]

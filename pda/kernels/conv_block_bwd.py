@@ -40,9 +40,12 @@ from .conv_block import (
     MARGIN,
     PAD_TAIL,
     assemble_band,
+    assemble_flat_band,
     band_views,
     canvas_flat,
     canvas_wp,
+    flat_m0,
+    flat_views,
 )
 
 
@@ -57,7 +60,7 @@ def _prep_dgrad(w: jax.Array) -> jax.Array:
 
 
 def _kernel(
-    xc_ref, xh_ref, gc_ref, gh_ref, h3c_ref, h3h_ref,
+    xc_ref, xh_ref, gc_ref, gh_ref, h3u_ref, h3c_ref, h3d_ref,
     *refs,
     rt: int, wp: int, h_img: int, w_img: int, dtype,
     recompute: bool = True,
@@ -67,10 +70,11 @@ def _kernel(
          wd1_ref, wd2_ref, wd3_ref,
          dx_ref, dw1_ref, db1_ref, dw2_ref, db2_ref, dw3_ref, db3_ref) = refs
     else:
-        (h1c_ref, h1h_ref, h2c_ref, h2h_ref,
+        (h1u_ref, h1c_ref, h1d_ref, h2u_ref, h2c_ref, h2d_ref,
          wd1_ref, wd2_ref, wd3_ref,
          dx_ref, dw1_ref, db1_ref, dw2_ref, db2_ref, dw3_ref, db3_ref) = refs
     n = pl.program_id(1)
+    nb = pl.num_programs(1)
 
     def stencil(h, w_ref, l_out: int, off0: int, headroom: int):
         """nocat conv stencil: out[p] = sum_dy,dx h[p + off0 + dy*wp + dx] W.
@@ -106,7 +110,9 @@ def _kernel(
 
     x = assemble_band(xc_ref, xh_ref, dtype)
     g = assemble_band(gc_ref, gh_ref, dtype)
-    h3 = assemble_band(h3c_ref, h3h_ref, dtype)
+    # h3 (and h1/h2 below) stream straight from the forward's margin-0 flats
+    # via clamped three-view reads — no row-padded canvases in XLA
+    h3 = assemble_flat_band(h3u_ref, h3c_ref, h3d_ref, n, nb, dtype)
 
     # Per-buffer flat headrooms: each stencil consumer reads up to
     # off0 + 2*wp + len(consumer) + 2, so headrooms shrink by >= 2 down
@@ -130,10 +136,10 @@ def _kernel(
         h1_wgrad, h1_wgrad_base = h1, 1
         h2_wgrad, h2_wgrad_base = h2, 2
     else:
-        # ---- h1/h2 streamed from the forward (margin-4 padded canvases,
-        # loaded as base-0 bands like x/g/h3)
-        h1b = assemble_band(h1c_ref, h1h_ref, dtype)
-        h2b = assemble_band(h2c_ref, h2h_ref, dtype)
+        # ---- h1/h2 streamed from the forward (margin-0 flats, read as
+        # base-0 margin-4 bands like x/g)
+        h1b = assemble_flat_band(h1u_ref, h1c_ref, h1d_ref, n, nb, dtype)
+        h2b = assemble_flat_band(h2u_ref, h2c_ref, h2d_ref, n, nb, dtype)
         h2_for_da2 = h2b[2 * wp + 2 : 2 * wp + 2 + l_da2 + 16, :]
         h1_for_da1 = h1b[3 * wp + 3 : 3 * wp + 3 + l_da1 + 8, :]
         h1_wgrad, h1_wgrad_base = h1b, 0
@@ -179,18 +185,22 @@ def _kernel(
 @functools.partial(jax.jit, static_argnames=("h", "w", "row_tile", "interpret"))
 def conv_block_bwd_canvas(
     xc: jax.Array,   # (B, (H+8)*wp, Cin) margin-4 canvas of the fwd input
-    h3p: jax.Array,  # (B, (H+8)*wp, C)   margin-0 fwd output flat, row-padded
+    h3f: jax.Array,  # (B, H*wp, C)       margin-0 fwd output flat
     gc: jax.Array,   # (B, (H+8)*wp, C)   margin-4 canvas of the cotangent
     h: int, w: int,
     w1: jax.Array, b1: jax.Array,
     w2: jax.Array, b2: jax.Array,
     w3: jax.Array,
     *,
-    h1p=None, h2p=None,  # row-padded forward intermediates (skip recompute)
+    h1f=None, h2f=None,  # margin-0 flat fwd intermediates (skip recompute)
     row_tile: int = 16,
     interpret: bool = False,
 ):
-    """Returns (dx, dw1, db1, dw2, db2, dw3, db3); dw in HWIO f32."""
+    """Returns (dx, dw1, db1, dw2, db2, dw3, db3); dw in HWIO f32.
+
+    h1f/h2f/h3f are the forward kernel's flat outputs as-is (the fwd masks
+    their ring columns); they stream through clamped three-view band reads
+    (flat_views), so no row-padded canvas is ever materialized in XLA."""
     b = xc.shape[0]
     cin = xc.shape[-1]
     c = w1.shape[-1]
@@ -199,7 +209,7 @@ def conv_block_bwd_canvas(
     nb = h // rt
     wp = canvas_wp(w)
     dtype = xc.dtype
-    recompute = h1p is None
+    recompute = h1f is None
 
     kernel = functools.partial(
         _kernel, rt=rt, wp=wp, h_img=h, w_img=w, dtype=dtype,
@@ -207,6 +217,7 @@ def conv_block_bwd_canvas(
     vmem = pl.BlockSpec(memory_space=pltpu.VMEM)
     xcore, xhalo = band_views(rt, wp, cin)
     gcore, ghalo = band_views(rt, wp, c)
+    hup, hcore, hdown = flat_views(rt, wp, c, nb)
 
     out_shapes = (
         jax.ShapeDtypeStruct((b, nb * rt * wp, cin), dtype),        # dx
@@ -241,13 +252,13 @@ def conv_block_bwd_canvas(
             _prep_fwd(w2.astype(dtype)), b2.astype(jnp.float32)[None, :],
         )
     else:
-        extra_specs = [gcore, ghalo, gcore, ghalo]
-        extra_args = (h1p, h1p, h2p, h2p)
+        extra_specs = [hup, hcore, hdown, hup, hcore, hdown]
+        extra_args = (h1f, h1f, h1f, h2f, h2f, h2f)
     outs = pl.pallas_call(
         kernel,
         grid=(b, nb),
         in_specs=[
-            xcore, xhalo, gcore, ghalo, gcore, ghalo,
+            xcore, xhalo, gcore, ghalo, hup, hcore, hdown,
             *extra_specs, vmem, vmem, vmem,
         ],
         out_specs=out_specs,
@@ -256,7 +267,7 @@ def conv_block_bwd_canvas(
             vmem_limit_bytes=120 * 1024 * 1024),
         interpret=interpret,
     )(
-        xc, xc, gc, gc, h3p, h3p,
+        xc, xc, gc, gc, h3f, h3f, h3f,
         *extra_args,
         _prep_dgrad(w1.astype(dtype)), _prep_dgrad(w2.astype(dtype)),
         _prep_dgrad(w3.astype(dtype)),
@@ -279,16 +290,6 @@ def conv_block_bwd_canvas(
             _dw(dw3p, c), _db(db3p))
 
 
-def h3_row_pad(out_flat: jax.Array, h: int, w: int) -> jax.Array:
-    """Fwd kernel output flat (B, H*wp, C) -> (B, (H+8)*wp, C) with MARGIN
-    zero rows above/below (ring columns stay garbage — neutralized by the
-    cotangent canvas's zero ring)."""
-    b, _, c = out_flat.shape
-    wp = canvas_wp(w)
-    z = jnp.zeros((b, MARGIN * wp, c), out_flat.dtype)
-    return jnp.concatenate([z, out_flat, z], axis=1)
-
-
 @functools.partial(jax.jit, static_argnames=("row_tile", "interpret"))
 def conv_block_bwd(
     x: jax.Array,   # (B, H, W, Cin) forward input
@@ -306,9 +307,7 @@ def conv_block_bwd(
     wp = canvas_wp(w)
     xc = canvas_flat(x, wp)
     gc = canvas_flat(g.astype(x.dtype), wp)
-    h3c = canvas_flat(h3, wp)[:, : (h + 2 * MARGIN) * wp, :]
-    # canvas_flat already produces margin-4 rows; reuse directly as h3p
     return conv_block_bwd_canvas(
-        xc, h3c, gc, h, w, w1, b1, w2, b2, w3,
+        xc, flat_m0(h3, wp), gc, h, w, w1, b1, w2, b2, w3,
         row_tile=row_tile, interpret=interpret,
     )

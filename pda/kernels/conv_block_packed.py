@@ -106,6 +106,44 @@ def assemble_band(core_ref, halo_ref, dtype):
     return jnp.concatenate([core_ref[0], halo_ref[0], zeros], axis=0)
 
 
+def flat_views(rt: int, wpp: int, lanes: int, nb: int):
+    """(up, core, down) BlockSpecs reading a MARGIN-0 packed flat
+    (B, nb*rt*wpp, lanes) as the margin-4 band of image rows
+    [n*rt - 4, n*rt + rt + 4): 4-row edge blocks with clamped indices (the
+    clamped-in garbage at the first/last band is zero-masked in-kernel by
+    :func:`assemble_flat_band`). Lets the backward stream the forward's flat
+    outputs directly — no row-padded canvas materialization in XLA."""
+    assert rt % 4 == 0, rt
+    r4 = rt // 4
+    up = pl.BlockSpec(
+        (1, 4 * wpp, lanes),
+        lambda i, n: (i, jnp.maximum(n * r4 - 1, 0), 0),
+        memory_space=pltpu.VMEM,
+    )
+    core = pl.BlockSpec(
+        (1, rt * wpp, lanes), lambda i, n: (i, n, 0), memory_space=pltpu.VMEM
+    )
+    down = pl.BlockSpec(
+        (1, 4 * wpp, lanes),
+        lambda i, n: (i, jnp.minimum((n + 1) * r4, nb * r4 - 1), 0),
+        memory_space=pltpu.VMEM,
+    )
+    return up, core, down
+
+
+def assemble_flat_band(up_ref, core_ref, dn_ref, n, nb, dtype):
+    """Margin-4 band value from flat_views refs: identical content to the
+    canvas-based assemble_band (zero top/bottom margins via the edge masks;
+    zero ring columns provided by the forward's in-kernel output masks)."""
+    up = jnp.where(n == 0, jnp.zeros_like(up_ref[0]), up_ref[0])
+    dn = jnp.where(n == nb - 1, jnp.zeros_like(dn_ref[0]), dn_ref[0])
+    zeros = jnp.zeros((PAD_TAIL, core_ref.shape[-1]), dtype)
+    return jnp.concatenate(
+        [up.astype(dtype), core_ref[0].astype(dtype), dn.astype(dtype), zeros],
+        axis=0,
+    )
+
+
 def pack_weights(w: jax.Array):
     """HWIO (3, 3, Cin, Cout) -> (Wc, Wm), each (3_dy, 2*Cin, 2*Cout)."""
     zeros = jnp.zeros_like(w[:, 0])
@@ -207,6 +245,8 @@ def _kernel(
     x = assemble_band(xc_ref, xh_ref, dtype)
     h1 = layer(x, wc1_ref, wm1_ref, b1_ref, (rt + 6) * wpp, TAILS[0], 1, True)
     h2 = layer(h1, wc2_ref, wm2_ref, b2_ref, (rt + 4) * wpp, TAILS[1], 2, True)
+    # h3 needs no mask even as a backward flat stream: it only gates
+    # relu'(h3) against the cotangent, whose canvas has a zero ring
     h3 = layer(h2, wc3_ref, wm3_ref, b3_ref, (rt + 2) * wpp, TAILS[2], 3, False)
     o_ref[0] = h3[wpp - 3 : wpp - 3 + rt * wpp, :]
     if save_intermediates:

@@ -39,8 +39,10 @@ from .conv_block_packed import (
     _make_img_mask,
     _make_stencil,
     assemble_band,
+    assemble_flat_band,
     band_views_packed,
     canvas_packed,
+    flat_views,
     pack_weights,
     packed_wpp,
 )
@@ -53,20 +55,26 @@ def _prep_dgrad(w: jax.Array):
 
 
 def _kernel(
-    xc_ref, xh_ref, gc_ref, gh_ref, h3c_ref, h3h_ref,
-    h1c_ref, h1h_ref, h2c_ref, h2h_ref,
+    xc_ref, xh_ref, gc_ref, gh_ref,
+    h3u_ref, h3c_ref, h3d_ref,
+    h1u_ref, h1c_ref, h1d_ref,
+    h2u_ref, h2c_ref, h2d_ref,
     wd1c_ref, wd1m_ref, wd2c_ref, wd2m_ref, wd3c_ref, wd3m_ref,
     dx_ref, dw1_ref, db1_ref, dw2_ref, db2_ref, dw3_ref, db3_ref,
     *,
     rt: int, wpp: int, h_img: int, w_img: int, dtype,
 ):
     stencil = _make_stencil(wpp)
+    n = pl.program_id(1)
+    nb = pl.num_programs(1)
 
     x = assemble_band(xc_ref, xh_ref, dtype)
     g = assemble_band(gc_ref, gh_ref, dtype)
-    h3 = assemble_band(h3c_ref, h3h_ref, dtype)
-    h1b = assemble_band(h1c_ref, h1h_ref, dtype)
-    h2b = assemble_band(h2c_ref, h2h_ref, dtype)
+    # h1/h2/h3 stream straight from the forward's margin-0 flats (canvas-free
+    # three-view reads); content is identical to the old row-padded canvases
+    h3 = assemble_flat_band(h3u_ref, h3c_ref, h3d_ref, n, nb, dtype)
+    h1b = assemble_flat_band(h1u_ref, h1c_ref, h1d_ref, n, nb, dtype)
+    h2b = assemble_flat_band(h2u_ref, h2c_ref, h2d_ref, n, nb, dtype)
 
     # Base chain 0 -> 1 -> 2 -> 3: unlike the unpacked kernel (margin 4 flat
     # positions >= any base) the packed column margin is only MARGIN/2 = 2
@@ -134,16 +142,20 @@ def _assemble_dw(p: jax.Array, ci: int, co: int) -> jax.Array:
 @functools.partial(jax.jit, static_argnames=("h", "w", "row_tile", "interpret"))
 def conv_block_packed_bwd_canvas(
     xc: jax.Array,   # (B, (H+8)*wpp, 2*Cin) packed canvas of the fwd input
-    h3p: jax.Array,  # (B, (H+8)*wpp, 2*C) packed fwd output, row-padded
+    h3f: jax.Array,  # (B, H*wpp, 2*C) packed fwd output, MARGIN-0 flat
     gc: jax.Array,   # (B, (H+8)*wpp, 2*C) packed canvas of the cotangent
-    h1p: jax.Array, h2p: jax.Array,  # packed row-padded fwd intermediates
+    h1f: jax.Array, h2f: jax.Array,  # packed margin-0 flat fwd intermediates
     h: int, w: int,
     w1: jax.Array, w2: jax.Array, w3: jax.Array,
     *,
     row_tile: int = 16,
     interpret: bool = False,
 ):
-    """Returns (dx, dw1, db1, dw2, db2, dw3, db3); dw in HWIO f32."""
+    """Returns (dx, dw1, db1, dw2, db2, dw3, db3); dw in HWIO f32.
+
+    h1f/h2f/h3f are the forward kernel's flat outputs as-is (zero ring
+    columns via the forward's in-kernel masks); they are streamed through
+    clamped three-view band reads, so no row-padded canvas is ever built."""
     b = xc.shape[0]
     cin = xc.shape[-1] // 2
     c = w1.shape[-1]
@@ -158,6 +170,7 @@ def conv_block_packed_bwd_canvas(
     vmem = pl.BlockSpec(memory_space=pltpu.VMEM)
     xcore, xhalo = band_views_packed(rt, wpp, 2 * cin)
     gcore, ghalo = band_views_packed(rt, wpp, 2 * c)
+    hup, hcore, hdown = flat_views(rt, wpp, 2 * c, nb)
 
     def dw_specs(ci):
         return (
@@ -191,8 +204,8 @@ def conv_block_packed_bwd_canvas(
         kernel,
         grid=(b, nb),
         in_specs=[
-            xcore, xhalo, gcore, ghalo, gcore, ghalo,
-            gcore, ghalo, gcore, ghalo,
+            xcore, xhalo, gcore, ghalo,
+            hup, hcore, hdown, hup, hcore, hdown, hup, hcore, hdown,
             vmem, vmem, vmem, vmem, vmem, vmem,
         ],
         out_specs=out_specs,
@@ -200,7 +213,7 @@ def conv_block_packed_bwd_canvas(
         compiler_params=pltpu.CompilerParams(
             vmem_limit_bytes=120 * 1024 * 1024),
         interpret=interpret,
-    )(xc, xc, gc, gc, h3p, h3p, h1p, h1p, h2p, h2p, *wd)
+    )(xc, xc, gc, gc, h3f, h3f, h3f, h1f, h1f, h1f, h2f, h2f, h2f, *wd)
     dx_b, dw1p, db1p, dw2p, db2p, dw3p, db3p = outs
 
     # dx: the in-kernel owned-row slice already landed on the margin-0 packed
@@ -219,14 +232,13 @@ def conv_block_packed_bwd_canvas(
     )
 
 
-def packed_row_pad(flat: jax.Array, h: int, w: int) -> jax.Array:
-    """Packed margin-0 flat (B, H*wpp, 2C) -> (B, (H+8)*wpp, 2C) with MARGIN
-    zero canvas rows above/below (ring columns stay garbage — neutralized by
-    the cotangent canvas's zero ring and the fwd's in-kernel h1/h2 masks)."""
-    b, _, c2 = flat.shape
-    wpp = packed_wpp(w)
-    z = jnp.zeros((b, MARGIN * wpp, c2), flat.dtype)
-    return jnp.concatenate([z, flat, z], axis=1)
+def flat_m0(x: jax.Array, wpp: int) -> jax.Array:
+    """(B, H, W, C) -> the MARGIN-0 packed flat (B, H*wpp, 2C) with zero ring
+    columns — the layout the forward kernel emits (for standalone use)."""
+    b, h, w, c = x.shape
+    buf = jnp.zeros((b, h, 2 * wpp, c), x.dtype)
+    buf = jax.lax.dynamic_update_slice(buf, x, (0, 0, MARGIN, 0))
+    return buf.reshape(b, h * wpp, 2 * c)
 
 
 @functools.partial(jax.jit, static_argnames=("row_tile", "interpret"))
@@ -244,10 +256,10 @@ def conv_block_packed_bwd(
     wpp = packed_wpp(w)
     xc = canvas_packed(x, wpp)
     gc = canvas_packed(g.astype(x.dtype), wpp)
-    h1c = canvas_packed(h1.astype(x.dtype), wpp)
-    h2c = canvas_packed(h2.astype(x.dtype), wpp)
-    h3c = canvas_packed(h3.astype(x.dtype), wpp)
+    h1f = flat_m0(h1.astype(x.dtype), wpp)
+    h2f = flat_m0(h2.astype(x.dtype), wpp)
+    h3f = flat_m0(h3.astype(x.dtype), wpp)
     return conv_block_packed_bwd_canvas(
-        xc, h3c, gc, h1c, h2c, h, w, w1, w2, w3,
+        xc, h3f, gc, h1f, h2f, h, w, w1, w2, w3,
         row_tile=row_tile, interpret=interpret,
     )

@@ -275,15 +275,15 @@ def _conv3p_fwd(x, w1, b1, w2, b2, w3, b3):
 
 def _conv3p_bwd(res, g):
     from ..kernels.conv_block import canvas_flat, canvas_wp
-    from ..kernels.conv_block_bwd import conv_block_bwd_canvas, h3_row_pad
+    from ..kernels.conv_block_bwd import conv_block_bwd_canvas
 
     xc, out_flat, h1_flat, h2_flat, (h, w), w1, b1, w2, b2, w3 = res
     rt = _bwd_row_tile(h, xc.shape[-1], w1.shape[-1])
     gc = canvas_flat(g.astype(xc.dtype), canvas_wp(w))
+    # out/h1/h2 flats stream into the backward as-is (canvas-free reads)
     dx, dw1, db1, dw2, db2, dw3, db3 = conv_block_bwd_canvas(
-        xc, h3_row_pad(out_flat, h, w), gc, h, w, w1, b1, w2, b2, w3,
-        h1p=h3_row_pad(h1_flat, h, w), h2p=h3_row_pad(h2_flat, h, w),
-        row_tile=rt,
+        xc, out_flat, gc, h, w, w1, b1, w2, b2, w3,
+        h1f=h1_flat, h2f=h2_flat, row_tile=rt,
     )
     return dx, dw1, db1, dw2, db2, dw3, db3
 
@@ -341,17 +341,14 @@ def _conv3pk_fwd(x, w1, b1, w2, b2, w3, b3):
 
 def _conv3pk_bwd(res, g):
     from ..kernels.conv_block_packed import canvas_packed, packed_wpp
-    from ..kernels.conv_block_packed_bwd import (
-        conv_block_packed_bwd_canvas,
-        packed_row_pad,
-    )
+    from ..kernels.conv_block_packed_bwd import conv_block_packed_bwd_canvas
 
     xc, out_flat, h1_flat, h2_flat, (h, w), w1, b1, w2, b2, w3 = res
     rt = _packed_bwd_row_tile(h, xc.shape[-1] // 2, w1.shape[-1])
     gc = canvas_packed(g.astype(xc.dtype), packed_wpp(w))
+    # out/h1/h2 flats stream into the backward as-is (canvas-free reads)
     dx, dw1, db1, dw2, db2, dw3, db3 = conv_block_packed_bwd_canvas(
-        xc, packed_row_pad(out_flat, h, w), gc,
-        packed_row_pad(h1_flat, h, w), packed_row_pad(h2_flat, h, w),
+        xc, out_flat, gc, h1_flat, h2_flat,
         h, w, w1, w2, w3, row_tile=rt,
     )
     return dx, dw1, db1, dw2, db2, dw3, db3
@@ -432,13 +429,15 @@ class ConvBlock(nn.Module):
             h = x.shape[1]
             cin, c = x.shape[-1], self.features
             fn = conv3_relu
+            import os
+
+            maxc = int(os.environ.get("PDA_PALLAS_MAXC", "0") or 0)
             if (
                 pallas_conv_enabled()
                 and _fwd_row_tile(h, cin, c) > 0
                 and _bwd_row_tile(h, cin, c) > 0
+                and (maxc == 0 or c <= maxc)
             ):
-                import os
-
                 mode = os.environ.get("PDA_PALLAS_CONV_MODE", "full")
                 fn = conv3_relu_mixed if mode == "mixed" else conv3_relu_pallas
                 if (
