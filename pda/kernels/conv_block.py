@@ -142,12 +142,20 @@ def _regroup(w: jax.Array) -> jax.Array:
 
 
 def _kernel(
-    xc_ref, xh_ref, w1_ref, b1_ref, w2_ref, b2_ref, w3_ref, b3_ref, o_ref,
-    *rest,
+    *refs,
     rt: int, wp: int, h_img: int, w_img: int, dtype,
     save_intermediates: bool = False,
+    flat_input: bool = False,
 ):
+    if flat_input:
+        xu_ref, xc_ref, xd_ref = refs[:3]
+        refs = refs[3:]
+    else:
+        xc_ref, xh_ref = refs[:2]
+        refs = refs[2:]
+    (w1_ref, b1_ref, w2_ref, b2_ref, w3_ref, b3_ref, o_ref, *rest) = refs
     n = pl.program_id(1)  # band index within the image
+    nb = pl.num_programs(1)
 
     def layer(h, w_ref, b_ref, l_out: int, tail: int, shift: int, mask: bool):
         n_out = l_out + tail
@@ -183,7 +191,12 @@ def _kernel(
             out = jnp.where(valid, out, 0.0)
         return out.astype(dtype)
 
-    x = assemble_band(xc_ref, xh_ref, dtype)
+    if flat_input:
+        # margin-0 flat input (zero ring columns by the producer's contract)
+        # through clamped three-view reads — identical band content
+        x = assemble_flat_band(xu_ref, xc_ref, xd_ref, n, nb, dtype)
+    else:
+        x = assemble_band(xc_ref, xh_ref, dtype)
     h1 = layer(x, w1_ref, b1_ref, (rt + 6) * wp, TAILS[0], 1, True)
     h2 = layer(h1, w2_ref, b2_ref, (rt + 4) * wp, TAILS[1], 2, True)
     # h3 needs no mask even as a backward flat stream: it only gates
@@ -243,6 +256,59 @@ def conv_block_fused_canvas(
         interpret=interpret,
     )(
         xc, xc,
+        _regroup(w1.astype(dtype)), b1.astype(jnp.float32)[None, :],
+        _regroup(w2.astype(dtype)), b2.astype(jnp.float32)[None, :],
+        _regroup(w3.astype(dtype)), b3.astype(jnp.float32)[None, :],
+    )
+    return out
+
+
+def conv_block_fused_flat(
+    xf: jax.Array,  # (B, H*wp, Cin) margin-0 flat (zero ring columns)
+    h: int, w: int,
+    w1, b1, w2, b2, w3, b3,
+    *,
+    row_tile: int = 16,
+    interpret: bool = False,
+    save_intermediates: bool = False,
+):
+    """Fused block forward reading a MARGIN-0 flat directly (clamped
+    three-view band reads — no margin-4 canvas is ever materialized in XLA).
+    Returns the margin-0 flat output (plus flat h1, h2 when
+    ``save_intermediates``). The input's ring columns must be zero (every
+    producer in the flat pipeline — kernels, flat pool/upsample — masks them).
+    """
+    b = xf.shape[0]
+    cin = xf.shape[-1]
+    c = w1.shape[-1]
+    rt = min(row_tile, h)
+    assert h % rt == 0 and rt % HALO_ROWS == 0, (h, rt)
+    nb = h // rt
+    wp = canvas_wp(w)
+    dtype = xf.dtype
+
+    kernel = functools.partial(
+        _kernel, rt=rt, wp=wp, h_img=h, w_img=w, dtype=dtype,
+        save_intermediates=save_intermediates, flat_input=True,
+    )
+    xup, xcore, xdown = flat_views(rt, wp, cin, nb)
+    wspec = pl.BlockSpec(memory_space=pltpu.VMEM)
+    ospec = pl.BlockSpec(
+        (1, rt * wp, c), lambda i, n: (i, n, 0), memory_space=pltpu.VMEM
+    )
+    oshape = jax.ShapeDtypeStruct((b, nb * rt * wp, c), dtype)
+    out = pl.pallas_call(
+        kernel,
+        grid=(b, nb),
+        in_specs=[xup, xcore, xdown, wspec, wspec, wspec, wspec, wspec, wspec],
+        out_specs=(ospec, ospec, ospec) if save_intermediates else ospec,
+        out_shape=(oshape, oshape, oshape) if save_intermediates else oshape,
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=120 * 1024 * 1024
+        ),
+        interpret=interpret,
+    )(
+        xf, xf, xf,
         _regroup(w1.astype(dtype)), b1.astype(jnp.float32)[None, :],
         _regroup(w2.astype(dtype)), b2.astype(jnp.float32)[None, :],
         _regroup(w3.astype(dtype)), b3.astype(jnp.float32)[None, :],

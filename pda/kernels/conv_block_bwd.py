@@ -60,11 +60,17 @@ def _prep_dgrad(w: jax.Array) -> jax.Array:
 
 
 def _kernel(
-    xc_ref, xh_ref, gc_ref, gh_ref, h3u_ref, h3c_ref, h3d_ref,
-    *refs,
+    *allrefs,
     rt: int, wp: int, h_img: int, w_img: int, dtype,
     recompute: bool = True,
+    flat_io: bool = False,
 ):
+    if flat_io:
+        (xu_ref, xc_ref, xd_ref, gu_ref, gc_ref, gd_ref,
+         h3u_ref, h3c_ref, h3d_ref, *refs) = allrefs
+    else:
+        (xc_ref, xh_ref, gc_ref, gh_ref,
+         h3u_ref, h3c_ref, h3d_ref, *refs) = allrefs
     if recompute:
         (wf1_ref, b1_ref, wf2_ref, b2_ref,
          wd1_ref, wd2_ref, wd3_ref,
@@ -108,8 +114,15 @@ def _kernel(
         return ((g_row >= 0) & (g_row < h_img)
                 & (col >= MARGIN) & (col < w_img + MARGIN))
 
-    x = assemble_band(xc_ref, xh_ref, dtype)
-    g = assemble_band(gc_ref, gh_ref, dtype)
+    if flat_io:
+        # x/g stream as margin-0 flats too (zero ring columns by contract:
+        # kernels mask their outputs; flat pool/upsample matrices write
+        # exact zeros at ring columns, and so do their transposes)
+        x = assemble_flat_band(xu_ref, xc_ref, xd_ref, n, nb, dtype)
+        g = assemble_flat_band(gu_ref, gc_ref, gd_ref, n, nb, dtype)
+    else:
+        x = assemble_band(xc_ref, xh_ref, dtype)
+        g = assemble_band(gc_ref, gh_ref, dtype)
     # h3 (and h1/h2 below) stream straight from the forward's margin-0 flats
     # via clamped three-view reads — no row-padded canvases in XLA
     h3 = assemble_flat_band(h3u_ref, h3c_ref, h3d_ref, n, nb, dtype)
@@ -160,7 +173,16 @@ def _kernel(
     # dx (base 4, exactly the band's rt owned rows)
     l_dx = rt * wp
     rx = stencil(da1, wd1_ref, l_dx, 0, 0)
-    dx_ref[0] = rx.astype(dtype)
+    if flat_io:
+        # emit the margin-0 flat directly: F[j] = dx_b[j - 4] within every
+        # band (positions j < 4 of a band are ring columns of its first row,
+        # exact zeros; the 4 values dropped at the tail are the last row's
+        # ring columns)
+        dx_ref[0] = jnp.concatenate(
+            [jnp.zeros((MARGIN, rx.shape[-1]), dtype),
+             rx[: l_dx - MARGIN, :].astype(dtype)], axis=0)
+    else:
+        dx_ref[0] = rx.astype(dtype)
 
     # ---- weight/bias gradient partials over band-owned rows [4, rt+4)
     def wgrad(h_in, base_i: int, da, base_o: int, dw_ref, db_ref):
@@ -287,6 +309,98 @@ def conv_block_bwd_canvas(
         return jnp.sum(p, axis=(0, 1))[0]
 
     return (dx, _dw(dw1p, cin), _db(db1p), _dw(dw2p, c), _db(db2p),
+            _dw(dw3p, c), _db(db3p))
+
+
+@functools.partial(jax.jit, static_argnames=("h", "w", "row_tile", "interpret"))
+def conv_block_bwd_flat(
+    xf: jax.Array,   # (B, H*wp, Cin) margin-0 flat of the fwd input
+    h3f: jax.Array,  # (B, H*wp, C)   margin-0 fwd output flat
+    gf: jax.Array,   # (B, H*wp, C)   margin-0 flat of the cotangent
+    h1f: jax.Array, h2f: jax.Array,   # margin-0 flat fwd intermediates
+    h: int, w: int,
+    w1: jax.Array, b1: jax.Array,
+    w2: jax.Array, b2: jax.Array,
+    w3: jax.Array,
+    *,
+    row_tile: int = 16,
+    interpret: bool = False,
+):
+    """Fully flat backward: every stream (x, g, h1..h3) is a margin-0 flat
+    read through clamped three-view bands, and dx comes back as a margin-0
+    flat too — zero canvas/uncanvas ops in XLA. Returns
+    (dxf, dw1, db1, dw2, db2, dw3, db3); dw in HWIO f32."""
+    b = xf.shape[0]
+    cin = xf.shape[-1]
+    c = w1.shape[-1]
+    rt = min(row_tile, h)
+    assert h % rt == 0, (h, rt)
+    nb = h // rt
+    wp = canvas_wp(w)
+    dtype = xf.dtype
+
+    kernel = functools.partial(
+        _kernel, rt=rt, wp=wp, h_img=h, w_img=w, dtype=dtype,
+        recompute=False, flat_io=True)
+    vmem = pl.BlockSpec(memory_space=pltpu.VMEM)
+    xup, xcore, xdown = flat_views(rt, wp, cin, nb)
+    hup, hcore, hdown = flat_views(rt, wp, c, nb)
+
+    out_shapes = (
+        jax.ShapeDtypeStruct((b, nb * rt * wp, cin), dtype),        # dx flat
+        jax.ShapeDtypeStruct((b, nb, 3, 3 * cin, c), jnp.float32),  # dw1
+        jax.ShapeDtypeStruct((b, nb, 1, c), jnp.float32),           # db1
+        jax.ShapeDtypeStruct((b, nb, 3, 3 * c, c), jnp.float32),    # dw2
+        jax.ShapeDtypeStruct((b, nb, 1, c), jnp.float32),           # db2
+        jax.ShapeDtypeStruct((b, nb, 3, 3 * c, c), jnp.float32),    # dw3
+        jax.ShapeDtypeStruct((b, nb, 1, c), jnp.float32),           # db3
+    )
+    out_specs = (
+        pl.BlockSpec((1, rt * wp, cin), lambda i, n: (i, n, 0),
+                     memory_space=pltpu.VMEM),
+        pl.BlockSpec((1, 1, 3, 3 * cin, c), lambda i, n: (i, n, 0, 0, 0),
+                     memory_space=pltpu.VMEM),
+        pl.BlockSpec((1, 1, 1, c), lambda i, n: (i, n, 0, 0),
+                     memory_space=pltpu.VMEM),
+        pl.BlockSpec((1, 1, 3, 3 * c, c), lambda i, n: (i, n, 0, 0, 0),
+                     memory_space=pltpu.VMEM),
+        pl.BlockSpec((1, 1, 1, c), lambda i, n: (i, n, 0, 0),
+                     memory_space=pltpu.VMEM),
+        pl.BlockSpec((1, 1, 3, 3 * c, c), lambda i, n: (i, n, 0, 0, 0),
+                     memory_space=pltpu.VMEM),
+        pl.BlockSpec((1, 1, 1, c), lambda i, n: (i, n, 0, 0),
+                     memory_space=pltpu.VMEM),
+    )
+
+    outs = pl.pallas_call(
+        kernel,
+        grid=(b, nb),
+        in_specs=[
+            xup, xcore, xdown, hup, hcore, hdown, hup, hcore, hdown,
+            hup, hcore, hdown, hup, hcore, hdown,
+            vmem, vmem, vmem,
+        ],
+        out_specs=out_specs,
+        out_shape=out_shapes,
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=120 * 1024 * 1024),
+        interpret=interpret,
+    )(
+        xf, xf, xf, gf, gf, gf, h3f, h3f, h3f,
+        h1f, h1f, h1f, h2f, h2f, h2f,
+        _prep_dgrad(w1.astype(dtype)), _prep_dgrad(w2.astype(dtype)),
+        _prep_dgrad(w3.astype(dtype)),
+    )
+    dxf, dw1p, db1p, dw2p, db2p, dw3p, db3p = outs
+
+    def _dw(p, ci):
+        s = jnp.sum(p, axis=(0, 1))
+        return s.reshape(3, 3, ci, c).transpose(1, 0, 2, 3)
+
+    def _db(p):
+        return jnp.sum(p, axis=(0, 1))[0]
+
+    return (dxf, _dw(dw1p, cin), _db(db1p), _dw(dw2p, c), _db(db2p),
             _dw(dw3p, c), _db(db3p))
 
 

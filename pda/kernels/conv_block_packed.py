@@ -222,15 +222,23 @@ def _make_img_mask(wpp: int, rt: int, h_img: int, w_img: int):
 
 
 def _kernel(
-    xc_ref, xh_ref,
-    wc1_ref, wm1_ref, b1_ref,
-    wc2_ref, wm2_ref, b2_ref,
-    wc3_ref, wm3_ref, b3_ref,
-    o_ref, *rest,
+    *refs,
     rt: int, wpp: int, h_img: int, w_img: int, dtype,
     save_intermediates: bool = False,
+    flat_input: bool = False,
 ):
+    if flat_input:
+        xu_ref, xc_ref, xd_ref = refs[:3]
+        refs = refs[3:]
+    else:
+        xc_ref, xh_ref = refs[:2]
+        refs = refs[2:]
+    (wc1_ref, wm1_ref, b1_ref,
+     wc2_ref, wm2_ref, b2_ref,
+     wc3_ref, wm3_ref, b3_ref,
+     o_ref, *rest) = refs
     n = pl.program_id(1)
+    nb = pl.num_programs(1)
     stencil = _make_stencil(wpp)
     img_mask = _make_img_mask(wpp, rt, h_img, w_img)
 
@@ -242,7 +250,11 @@ def _kernel(
             out = jnp.where(img_mask(n, n_out, base), out, 0.0)
         return out.astype(dtype)
 
-    x = assemble_band(xc_ref, xh_ref, dtype)
+    if flat_input:
+        # margin-0 packed flat input (zero ring by the producer's contract)
+        x = assemble_flat_band(xu_ref, xc_ref, xd_ref, n, nb, dtype)
+    else:
+        x = assemble_band(xc_ref, xh_ref, dtype)
     h1 = layer(x, wc1_ref, wm1_ref, b1_ref, (rt + 6) * wpp, TAILS[0], 1, True)
     h2 = layer(h1, wc2_ref, wm2_ref, b2_ref, (rt + 4) * wpp, TAILS[1], 2, True)
     # h3 needs no mask even as a backward flat stream: it only gates
@@ -303,6 +315,57 @@ def conv_block_packed_canvas(
         ),
         interpret=interpret,
     )(xc, xc, *packed)
+    return out
+
+
+def conv_block_packed_flat(
+    xf: jax.Array,  # (B, H*wpp, 2*Cin) margin-0 packed flat (zero ring cols)
+    h: int, w: int,
+    w1, b1, w2, b2, w3, b3,
+    *,
+    row_tile: int = 32,
+    interpret: bool = False,
+    save_intermediates: bool = False,
+):
+    """Fused packed block forward reading a MARGIN-0 packed flat directly
+    (clamped three-view band reads — no packed canvas in XLA). Returns the
+    packed margin-0 flat output (plus packed h1, h2 when requested)."""
+    b = xf.shape[0]
+    cin2 = xf.shape[-1]
+    c = w1.shape[-1]
+    rt = min(row_tile, h)
+    assert h % rt == 0 and rt % HALO_IMG_ROWS == 0, (h, rt)
+    nb = h // rt
+    wpp = packed_wpp(w)
+    dtype = xf.dtype
+
+    kernel = functools.partial(
+        _kernel, rt=rt, wpp=wpp, h_img=h, w_img=w, dtype=dtype,
+        save_intermediates=save_intermediates, flat_input=True,
+    )
+    xup, xcore, xdown = flat_views(rt, wpp, cin2, nb)
+    wspec = pl.BlockSpec(memory_space=pltpu.VMEM)
+    ospec = pl.BlockSpec(
+        (1, rt * wpp, 2 * c), lambda i, n: (i, n, 0), memory_space=pltpu.VMEM
+    )
+    oshape = jax.ShapeDtypeStruct((b, nb * rt * wpp, 2 * c), dtype)
+
+    packed = []
+    for wk, bk in ((w1, b1), (w2, b2), (w3, b3)):
+        wc, wm = pack_weights(wk.astype(dtype))
+        packed += [wc, wm, jnp.tile(bk.astype(jnp.float32), 2)[None, :]]
+
+    out = pl.pallas_call(
+        kernel,
+        grid=(b, nb),
+        in_specs=[xup, xcore, xdown] + [wspec] * 9,
+        out_specs=(ospec, ospec, ospec) if save_intermediates else ospec,
+        out_shape=(oshape, oshape, oshape) if save_intermediates else oshape,
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=120 * 1024 * 1024
+        ),
+        interpret=interpret,
+    )(xf, xf, xf, *packed)
     return out
 
 

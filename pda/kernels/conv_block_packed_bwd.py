@@ -55,21 +55,30 @@ def _prep_dgrad(w: jax.Array):
 
 
 def _kernel(
-    xc_ref, xh_ref, gc_ref, gh_ref,
-    h3u_ref, h3c_ref, h3d_ref,
-    h1u_ref, h1c_ref, h1d_ref,
-    h2u_ref, h2c_ref, h2d_ref,
-    wd1c_ref, wd1m_ref, wd2c_ref, wd2m_ref, wd3c_ref, wd3m_ref,
-    dx_ref, dw1_ref, db1_ref, dw2_ref, db2_ref, dw3_ref, db3_ref,
-    *,
+    *allrefs,
     rt: int, wpp: int, h_img: int, w_img: int, dtype,
+    flat_io: bool = False,
 ):
+    if flat_io:
+        (xu_ref, xc_ref, xd_ref, gu_ref, gc_ref, gd_ref, *refs) = allrefs
+    else:
+        (xc_ref, xh_ref, gc_ref, gh_ref, *refs) = allrefs
+    (h3u_ref, h3c_ref, h3d_ref,
+     h1u_ref, h1c_ref, h1d_ref,
+     h2u_ref, h2c_ref, h2d_ref,
+     wd1c_ref, wd1m_ref, wd2c_ref, wd2m_ref, wd3c_ref, wd3m_ref,
+     dx_ref, dw1_ref, db1_ref, dw2_ref, db2_ref, dw3_ref, db3_ref) = refs
     stencil = _make_stencil(wpp)
     n = pl.program_id(1)
     nb = pl.num_programs(1)
 
-    x = assemble_band(xc_ref, xh_ref, dtype)
-    g = assemble_band(gc_ref, gh_ref, dtype)
+    if flat_io:
+        # x/g stream as margin-0 packed flats (zero ring cols by contract)
+        x = assemble_flat_band(xu_ref, xc_ref, xd_ref, n, nb, dtype)
+        g = assemble_flat_band(gu_ref, gc_ref, gd_ref, n, nb, dtype)
+    else:
+        x = assemble_band(xc_ref, xh_ref, dtype)
+        g = assemble_band(gc_ref, gh_ref, dtype)
     # h1/h2/h3 stream straight from the forward's margin-0 flats (canvas-free
     # three-view reads); content is identical to the old row-padded canvases
     h3 = assemble_flat_band(h3u_ref, h3c_ref, h3d_ref, n, nb, dtype)
@@ -226,6 +235,94 @@ def conv_block_packed_bwd_canvas(
 
     return (
         dx,
+        _assemble_dw(dw1p, cin, c), _db(db1p),
+        _assemble_dw(dw2p, c, c), _db(db2p),
+        _assemble_dw(dw3p, c, c), _db(db3p),
+    )
+
+
+@functools.partial(jax.jit, static_argnames=("h", "w", "row_tile", "interpret"))
+def conv_block_packed_bwd_flat(
+    xf: jax.Array,   # (B, H*wpp, 2*Cin) margin-0 packed flat of the input
+    h3f: jax.Array,  # (B, H*wpp, 2*C) packed fwd output flat
+    gf: jax.Array,   # (B, H*wpp, 2*C) margin-0 packed flat of the cotangent
+    h1f: jax.Array, h2f: jax.Array,
+    h: int, w: int,
+    w1: jax.Array, w2: jax.Array, w3: jax.Array,
+    *,
+    row_tile: int = 16,
+    interpret: bool = False,
+):
+    """Fully flat packed backward: x, g and the saved activations all stream
+    as margin-0 packed flats, and dx comes back as one too (the kernel's
+    owned-row slice already lands on that layout). Returns
+    (dxf, dw1, db1, dw2, db2, dw3, db3); dw in HWIO f32."""
+    b = xf.shape[0]
+    cin = xf.shape[-1] // 2
+    c = w1.shape[-1]
+    rt = min(row_tile, h)
+    assert h % rt == 0 and rt % HALO_IMG_ROWS == 0, (h, rt)
+    nb = h // rt
+    wpp = packed_wpp(w)
+    dtype = xf.dtype
+
+    kernel = functools.partial(
+        _kernel, rt=rt, wpp=wpp, h_img=h, w_img=w, dtype=dtype, flat_io=True)
+    vmem = pl.BlockSpec(memory_space=pltpu.VMEM)
+    xup, xcore, xdown = flat_views(rt, wpp, 2 * cin, nb)
+    hup, hcore, hdown = flat_views(rt, wpp, 2 * c, nb)
+
+    def dw_specs(ci):
+        return (
+            pl.BlockSpec((1, 1, 9, 2 * ci, 2 * c), lambda i, n: (i, n, 0, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 1, 1, 2 * c), lambda i, n: (i, n, 0, 0),
+                         memory_space=pltpu.VMEM),
+        )
+
+    def dw_shapes(ci):
+        return (
+            jax.ShapeDtypeStruct((b, nb, 9, 2 * ci, 2 * c), jnp.float32),
+            jax.ShapeDtypeStruct((b, nb, 1, 2 * c), jnp.float32),
+        )
+
+    out_shapes = (
+        jax.ShapeDtypeStruct((b, nb * rt * wpp, 2 * cin), dtype),
+        *dw_shapes(cin), *dw_shapes(c), *dw_shapes(c),
+    )
+    out_specs = (
+        pl.BlockSpec((1, rt * wpp, 2 * cin), lambda i, n: (i, n, 0),
+                     memory_space=pltpu.VMEM),
+        *dw_specs(cin), *dw_specs(c), *dw_specs(c),
+    )
+
+    wd = []
+    for wk in (w1, w2, w3):
+        wc, wm = _prep_dgrad(wk.astype(dtype))
+        wd += [wc, wm]
+    outs = pl.pallas_call(
+        kernel,
+        grid=(b, nb),
+        in_specs=[
+            xup, xcore, xdown, hup, hcore, hdown,  # g shares the 2C lane spec
+            hup, hcore, hdown, hup, hcore, hdown, hup, hcore, hdown,
+            vmem, vmem, vmem, vmem, vmem, vmem,
+        ],
+        out_specs=out_specs,
+        out_shape=out_shapes,
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=120 * 1024 * 1024),
+        interpret=interpret,
+    )(xf, xf, xf, gf, gf, gf, h3f, h3f, h3f, h1f, h1f, h1f, h2f, h2f, h2f,
+      *wd)
+    dxf, dw1p, db1p, dw2p, db2p, dw3p, db3p = outs
+
+    def _db(p):
+        s = jnp.sum(p, axis=(0, 1))[0]
+        return s[:c] + s[c:]
+
+    return (
+        dxf,
         _assemble_dw(dw1p, cin, c), _db(db1p),
         _assemble_dw(dw2p, c, c), _db(db2p),
         _assemble_dw(dw3p, c, c), _db(db3p),

@@ -254,3 +254,134 @@ class TestConvBlockPackedKernels:
         for a, r in zip(gp, gx):
             np.testing.assert_allclose(a, r, rtol=1e-4, atol=1e-5)
 
+
+
+class TestFlatKernelVariants:
+    """Flat-I/O kernel variants (margin-0 flats in AND out — the layouts the
+    flat activation pipeline keeps between blocks) against the XLA block."""
+
+    def _mk(self, shape, c, seed):
+        rng = np.random.default_rng(seed)
+        b, h, w, cin = shape
+        x = jnp.asarray(rng.normal(size=shape).astype(np.float32))
+        ws, bs = [], []
+        for (i, o) in [(cin, c), (c, c), (c, c)]:
+            ws.append(
+                jnp.asarray(rng.normal(size=(3, 3, i, o)).astype(np.float32)) * 0.2
+            )
+            bs.append(jnp.asarray(rng.normal(size=(o,)).astype(np.float32)) * 0.1)
+        g = jnp.asarray(rng.normal(size=(b, h, w, c)).astype(np.float32))
+        return x, ws, bs, g
+
+    @pytest.mark.parametrize(
+        "shape,c,rt", [((2, 32, 32, 4), 8, 8), ((1, 48, 40, 1), 8, 16)]
+    )
+    def test_flat_forward_unpacked(self, shape, c, rt):
+        from pda.kernels.conv_block import (
+            canvas_wp, conv_block_fused_flat, flat_m0, uncanvas,
+        )
+        from pda.models.blocks import conv3_relu
+
+        x, ws, bs, _ = self._mk(shape, c, 21)
+        b, h, w, cin = shape
+        ref = conv3_relu(x, ws[0], bs[0], ws[1], bs[1], ws[2], bs[2])
+        xf = flat_m0(x, canvas_wp(w))
+        outf = conv_block_fused_flat(
+            xf, h, w, ws[0], bs[0], ws[1], bs[1], ws[2], bs[2],
+            row_tile=rt, interpret=True,
+        )
+        np.testing.assert_allclose(uncanvas(outf, h, w), ref, rtol=1e-4, atol=1e-5)
+
+    @pytest.mark.parametrize(
+        "shape,c,rt", [((2, 32, 32, 4), 8, 8), ((1, 48, 40, 1), 8, 16)]
+    )
+    def test_flat_backward_unpacked(self, shape, c, rt):
+        from pda.kernels.conv_block import canvas_wp, flat_m0, uncanvas
+        from pda.kernels.conv_block_bwd import conv_block_bwd_flat
+        from pda.models.blocks import _conv_same
+
+        x, ws, bs, g = self._mk(shape, c, 23)
+        b, h, w, cin = shape
+
+        def block(x, w1, b1, w2, b2, w3, b3):
+            hh = x
+            for wk, bk in ((w1, b1), (w2, b2), (w3, b3)):
+                hh = jnp.maximum(_conv_same(hh, wk) + bk, 0.0)
+            return hh
+
+        h3, vjp = jax.vjp(block, x, ws[0], bs[0], ws[1], bs[1], ws[2], bs[2])
+        ref = vjp(g)
+        h1 = jnp.maximum(_conv_same(x, ws[0]) + bs[0], 0.0)
+        h2 = jnp.maximum(_conv_same(h1, ws[1]) + bs[1], 0.0)
+        wp = canvas_wp(w)
+        out = conv_block_bwd_flat(
+            flat_m0(x, wp), flat_m0(h3, wp), flat_m0(g, wp),
+            flat_m0(h1, wp), flat_m0(h2, wp),
+            h, w, ws[0], bs[0], ws[1], bs[1], ws[2],
+            row_tile=rt, interpret=True,
+        )
+        outs = (uncanvas(out[0], h, w),) + out[1:]
+        for name, a, r in zip(
+            ["dx", "dw1", "db1", "dw2", "db2", "dw3", "db3"], outs, ref
+        ):
+            rel = float(jnp.abs(a - r).max() / (jnp.abs(r).max() + 1e-9))
+            assert rel < 2e-5, (name, rel)
+
+    @pytest.mark.parametrize(
+        "shape,c,rt", [((2, 32, 32, 1), 8, 16), ((1, 16, 48, 4), 8, 8)]
+    )
+    def test_flat_forward_packed(self, shape, c, rt):
+        from pda.kernels.conv_block_packed import (
+            conv_block_packed_flat, packed_wpp, uncanvas_packed,
+        )
+        from pda.kernels.conv_block_packed_bwd import flat_m0 as flat_m0p
+        from pda.models.blocks import conv3_relu
+
+        x, ws, bs, _ = self._mk(shape, c, 27)
+        b, h, w, cin = shape
+        ref = conv3_relu(x, ws[0], bs[0], ws[1], bs[1], ws[2], bs[2])
+        xf = flat_m0p(x, packed_wpp(w))
+        outf = conv_block_packed_flat(
+            xf, h, w, ws[0], bs[0], ws[1], bs[1], ws[2], bs[2],
+            row_tile=rt, interpret=True,
+        )
+        np.testing.assert_allclose(
+            uncanvas_packed(outf, h, w), ref, rtol=1e-4, atol=1e-5
+        )
+
+    @pytest.mark.parametrize(
+        "shape,c,rt", [((2, 32, 32, 1), 8, 16), ((1, 16, 48, 4), 8, 8)]
+    )
+    def test_flat_backward_packed(self, shape, c, rt):
+        from pda.kernels.conv_block_packed import packed_wpp, uncanvas_packed
+        from pda.kernels.conv_block_packed_bwd import (
+            conv_block_packed_bwd_flat, flat_m0 as flat_m0p,
+        )
+        from pda.models.blocks import _conv_same
+
+        x, ws, bs, g = self._mk(shape, c, 29)
+        b, h, w, cin = shape
+
+        def block(x, w1, b1, w2, b2, w3, b3):
+            hh = x
+            for wk, bk in ((w1, b1), (w2, b2), (w3, b3)):
+                hh = jnp.maximum(_conv_same(hh, wk) + bk, 0.0)
+            return hh
+
+        h3, vjp = jax.vjp(block, x, ws[0], bs[0], ws[1], bs[1], ws[2], bs[2])
+        ref = vjp(g)
+        h1 = jnp.maximum(_conv_same(x, ws[0]) + bs[0], 0.0)
+        h2 = jnp.maximum(_conv_same(h1, ws[1]) + bs[1], 0.0)
+        wpp = packed_wpp(w)
+        out = conv_block_packed_bwd_flat(
+            flat_m0p(x, wpp), flat_m0p(h3, wpp), flat_m0p(g, wpp),
+            flat_m0p(h1, wpp), flat_m0p(h2, wpp),
+            h, w, ws[0], ws[1], ws[2],
+            row_tile=rt, interpret=True,
+        )
+        outs = (uncanvas_packed(out[0], h, w),) + out[1:]
+        for name, a, r in zip(
+            ["dx", "dw1", "db1", "dw2", "db2", "dw3", "db3"], outs, ref
+        ):
+            rel = float(jnp.abs(a - r).max() / (jnp.abs(r).max() + 1e-9))
+            assert rel < 2e-5, (name, rel)
