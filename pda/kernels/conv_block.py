@@ -199,9 +199,9 @@ def _kernel(
         x = assemble_band(xc_ref, xh_ref, dtype)
     h1 = layer(x, w1_ref, b1_ref, (rt + 6) * wp, TAILS[0], 1, True)
     h2 = layer(h1, w2_ref, b2_ref, (rt + 4) * wp, TAILS[1], 2, True)
-    # h3 needs no mask even as a backward flat stream: it only gates
-    # relu'(h3) against the cotangent, whose canvas has a zero ring
-    h3 = layer(h2, w3_ref, b3_ref, (rt + 2) * wp, TAILS[2], 3, False)
+    # h3 IS masked: the flat pipeline feeds this output straight into the
+    # next kernel / flat op, whose stencils rely on exact-zero ring columns
+    h3 = layer(h2, w3_ref, b3_ref, (rt + 2) * wp, TAILS[2], 3, True)
     # own output rows [4, rt+4): slice the base-3 buffer at idx(3, 4, 0)
     o_ref[0] = h3[wp - 3 : wp - 3 + rt * wp, :]
     if save_intermediates:

@@ -257,9 +257,9 @@ def _kernel(
         x = assemble_band(xc_ref, xh_ref, dtype)
     h1 = layer(x, wc1_ref, wm1_ref, b1_ref, (rt + 6) * wpp, TAILS[0], 1, True)
     h2 = layer(h1, wc2_ref, wm2_ref, b2_ref, (rt + 4) * wpp, TAILS[1], 2, True)
-    # h3 needs no mask even as a backward flat stream: it only gates
-    # relu'(h3) against the cotangent, whose canvas has a zero ring
-    h3 = layer(h2, wc3_ref, wm3_ref, b3_ref, (rt + 2) * wpp, TAILS[2], 3, False)
+    # h3 IS masked: the flat pipeline feeds this output straight into the
+    # next kernel / flat op, whose stencils rely on exact-zero ring columns
+    h3 = layer(h2, wc3_ref, wm3_ref, b3_ref, (rt + 2) * wpp, TAILS[2], 3, True)
     o_ref[0] = h3[wpp - 3 : wpp - 3 + rt * wpp, :]
     if save_intermediates:
         h1_ref, h2_ref = rest

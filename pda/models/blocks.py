@@ -14,6 +14,7 @@ Initialization follows the reference (my_models/utils.py:17-28):
 from __future__ import annotations
 
 import functools
+import os
 from typing import Sequence
 
 import jax
@@ -357,6 +358,105 @@ def _conv3pk_bwd(res, g):
 conv3_relu_packed.defvjp(_conv3pk_fwd, _conv3pk_bwd)
 
 
+# ---------------------------------------------------------------------------
+# Flat-I/O VJP wrappers: input and output are margin-0 flat canvases (see
+# pda/models/flat_ops.py). Used by the flat activation pipeline so that no
+# canvas/uncanvas layout ops appear between blocks. h/w are static (the flat
+# shape alone does not determine the image geometry).
+# ---------------------------------------------------------------------------
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(0, 1))
+def conv3_relu_flat(h, w, xf, w1, b1, w2, b2, w3, b3):
+    from ..kernels.conv_block import conv_block_fused_flat
+
+    rt = _fwd_row_tile(h, xf.shape[-1], w1.shape[-1])
+    return conv_block_fused_flat(
+        xf, h, w, w1, b1, w2, b2, w3, b3, row_tile=rt
+    )
+
+
+def _conv3f_fwd(h, w, xf, w1, b1, w2, b2, w3, b3):
+    from ..kernels.conv_block import conv_block_fused_flat
+
+    rt = _fwd_row_tile(h, xf.shape[-1], w1.shape[-1])
+    outf, h1f, h2f = conv_block_fused_flat(
+        xf, h, w, w1, b1, w2, b2, w3, b3,
+        row_tile=rt, save_intermediates=True,
+    )
+    return outf, (xf, outf, h1f, h2f, w1, b1, w2, b2, w3)
+
+
+def _conv3f_bwd(h, w, res, g):
+    from ..kernels.conv_block_bwd import conv_block_bwd_flat
+
+    xf, outf, h1f, h2f, w1, b1, w2, b2, w3 = res
+    rt = _bwd_row_tile(h, xf.shape[-1], w1.shape[-1])
+    return conv_block_bwd_flat(
+        xf, outf, g.astype(xf.dtype), h1f, h2f,
+        h, w, w1, b1, w2, b2, w3, row_tile=rt,
+    )
+
+
+conv3_relu_flat.defvjp(_conv3f_fwd, _conv3f_bwd)
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(0, 1))
+def conv3_relu_flat_packed(h, w, xf, w1, b1, w2, b2, w3, b3):
+    from ..kernels.conv_block_packed import conv_block_packed_flat
+
+    rt = _packed_fwd_row_tile(h, xf.shape[-1] // 2, w1.shape[-1])
+    return conv_block_packed_flat(
+        xf, h, w, w1, b1, w2, b2, w3, b3, row_tile=rt
+    )
+
+
+def _conv3fp_fwd(h, w, xf, w1, b1, w2, b2, w3, b3):
+    from ..kernels.conv_block_packed import conv_block_packed_flat
+
+    rt = _packed_fwd_row_tile(h, xf.shape[-1] // 2, w1.shape[-1])
+    outf, h1f, h2f = conv_block_packed_flat(
+        xf, h, w, w1, b1, w2, b2, w3, b3,
+        row_tile=rt, save_intermediates=True,
+    )
+    return outf, (xf, outf, h1f, h2f, w1, w2, w3)
+
+
+def _conv3fp_bwd(h, w, res, g):
+    from ..kernels.conv_block_packed_bwd import conv_block_packed_bwd_flat
+
+    xf, outf, h1f, h2f, w1, w2, w3 = res
+    rt = _packed_bwd_row_tile(h, xf.shape[-1] // 2, w1.shape[-1])
+    dxf, dw1, db1, dw2, db2, dw3, db3 = conv_block_packed_bwd_flat(
+        xf, outf, g.astype(xf.dtype), h1f, h2f,
+        h, w, w1, w2, w3, row_tile=rt,
+    )
+    return dxf, dw1, db1, dw2, db2, dw3, db3
+
+
+conv3_relu_flat_packed.defvjp(_conv3fp_fwd, _conv3fp_bwd)
+
+
+def flat_block_eligible(h: int, w: int, cin: int, c: int) -> bool:
+    """Can a ConvBlock at this geometry run the flat unpacked kernels?"""
+    return (
+        _fwd_row_tile(h, cin, c) > 0
+        and _bwd_row_tile(h, cin, c) > 0
+        and w >= 8
+    )
+
+
+def packed_flat_eligible(h: int, w: int, cin: int, c: int) -> bool:
+    """Can a ConvBlock at this geometry run the flat PACKED kernels?"""
+    return (
+        c <= 64
+        and w % 2 == 0
+        and _packed_fwd_row_tile(h, cin, c) > 0
+        and _packed_bwd_row_tile(h, cin, c) > 0
+        and os.environ.get("PDA_PALLAS_PACKED", "1") != "0"
+    )
+
+
 @jax.custom_vjp
 def conv3_relu_mixed(x, w1, b1, w2, b2, w3, b3):
     """XLA convolutions forward (fast, fused by XLA in gradient-free
@@ -413,7 +513,13 @@ class ConvBlock(nn.Module):
     dtype: jnp.dtype = jnp.float32
 
     @nn.compact
-    def __call__(self, x: jax.Array) -> jax.Array:
+    def __call__(self, x: jax.Array, flat_geom=None) -> jax.Array:
+        """Image mode (default): x is (B, H, W, Cin). Flat mode: pass
+        ``flat_geom=(h, w, cin)`` with x a margin-0 flat (unpacked
+        ``(B, h*wp, cin)`` or packed ``(B, h*wpp, 2*cin)``) of the PRE-pool
+        geometry; the output is a flat of the same family."""
+        if flat_geom is not None:
+            return self._call_flat(x, *flat_geom)
         if self.pool:
             x = avg_pool_2x2(x)
         params = []
@@ -459,6 +565,33 @@ class ConvBlock(nn.Module):
             x = jnp.maximum(_conv_same(x, cp.kernel) + cp.bias.astype(x.dtype), 0.0)
         return x
 
+    def _call_flat(self, x: jax.Array, h: int, w: int, cin: int) -> jax.Array:
+        from . import flat_ops
+
+        assert self.n_convs == 3, "flat mode serves the 3-conv blocks"
+        params = []
+        ci = cin
+        for i in range(self.n_convs):
+            cp = _ConvParams(
+                features=self.features, in_features=ci, name=f"Conv_{i}"
+            )
+            params.append(cp)
+            ci = self.features
+        if self.pool:
+            packed_in = x.shape[-1] == 2 * cin
+            pool = flat_ops.pool_flat_packed if packed_in else flat_ops.pool_flat
+            x = pool(x, h, w)
+            h, w = h // 2, w // 2
+        x = x.astype(self.dtype)
+        packed = x.shape[-1] == 2 * cin
+        fn = conv3_relu_flat_packed if packed else conv3_relu_flat
+        return fn(
+            h, w, x,
+            params[0].kernel, params[0].bias,
+            params[1].kernel, params[1].bias,
+            params[2].kernel, params[2].bias,
+        )
+
 
 class UpBlock(nn.Module):
     """Bilinear x2 upsample + skip concat + ConvBlock.
@@ -472,7 +605,26 @@ class UpBlock(nn.Module):
     dtype: jnp.dtype = jnp.float32
 
     @nn.compact
-    def __call__(self, x: jax.Array, bridge: jax.Array) -> jax.Array:
+    def __call__(
+        self, x: jax.Array, bridge: jax.Array, flat_geom=None
+    ) -> jax.Array:
+        """Image mode (default). Flat mode: ``flat_geom=(h, w, cin, cb,
+        packed)`` where (h, w) is x's LOW-RES geometry, cin/cb the channel
+        counts of x and the bridge, and ``packed`` selects the lane-packed
+        layout for the upsample/concat/block (requires a packed bridge)."""
+        if flat_geom is not None:
+            from . import flat_ops
+
+            h, w, cin, cb, packed = flat_geom
+            if packed:
+                up = flat_ops.upsample_flat_to_packed(x, h, w)
+                cat = flat_ops.concat_packed_pair(up, bridge, cin, cb)
+            else:
+                up = flat_ops.upsample_flat(x, h, w)
+                cat = flat_ops.concat_flat(up, bridge)
+            return ConvBlock(self.features, n_convs=self.n_convs, dtype=self.dtype)(
+                cat, flat_geom=(2 * h, 2 * w, cin + cb)
+            )
         up = upsample_2x_align_corners(x)
         assert up.shape[1] == bridge.shape[1] and up.shape[2] == bridge.shape[2], (
             f"skip-connection shape mismatch: {up.shape} vs {bridge.shape}"
@@ -493,7 +645,31 @@ class EncoderPyramid(nn.Module):
     dtype: jnp.dtype = jnp.float32
 
     @nn.compact
-    def __call__(self, x: jax.Array) -> jax.Array:
+    def __call__(self, x: jax.Array, flat_plan=None) -> jax.Array:
+        """Image mode (default): x is an image, returns the last-level map.
+        Flat mode (``flat_plan`` from flat_ops.flat_pipeline_plan): converts
+        to the flat layout at entry, runs every block flat, and returns
+        ``(flat, (h_last, w_last), last_packed)``."""
+        if flat_plan is not None:
+            from . import flat_ops
+
+            b, h, w, cin = x.shape
+            x = x.astype(self.dtype)
+            packed0 = flat_plan["l0_packed"]
+            xf = (
+                flat_ops.to_flat_packed(x) if packed0 else flat_ops.to_flat(x)
+            )
+            ci = cin
+            for i, feats in enumerate(self.num_filters):
+                xf = ConvBlock(
+                    feats, n_convs=self.n_convs_per_block, pool=(i > 0),
+                    dtype=self.dtype,
+                )(xf, flat_geom=(h, w, ci))
+                if i > 0:
+                    h, w = h // 2, w // 2
+                ci = feats
+            last_packed = packed0 and len(self.num_filters) == 1
+            return xf, (h, w), last_packed
         for i, feats in enumerate(self.num_filters):
             x = ConvBlock(
                 feats, n_convs=self.n_convs_per_block, pool=(i > 0), dtype=self.dtype

@@ -53,15 +53,41 @@ class GaussianEncoder(nn.Module):
     n_convs_per_block: int = 3
     dtype: jnp.dtype = jnp.float32
 
+    def _flat_plan(self, x: jax.Array):
+        from .blocks import pallas_conv_enabled
+        from .flat_ops import flat_pipeline_plan
+
+        if self.n_convs_per_block != 3 or not pallas_conv_enabled():
+            return None
+        b, h, w, cin = x.shape
+        return flat_pipeline_plan(
+            h, w, cin, self.num_filters, with_decoder=False
+        )
+
     @nn.compact
     def __call__(self, x: jax.Array, segm: Optional[jax.Array] = None) -> DiagGaussian:
         if segm is not None:
             x = jnp.concatenate([x, segm.astype(x.dtype)], axis=-1)
-        enc = EncoderPyramid(
-            self.num_filters, self.n_convs_per_block, dtype=self.dtype
-        )(x)
-        # Global spatial mean (reference :126-127) — one fused reduction.
-        enc = jnp.mean(enc, axis=(1, 2))
+        plan = self._flat_plan(x)
+        if plan is not None:
+            from . import flat_ops
+
+            encf, (eh, ew), last_packed = EncoderPyramid(
+                self.num_filters, self.n_convs_per_block, dtype=self.dtype
+            )(x, flat_plan=plan)
+            # ring columns are exact zeros: the flat sum / (H*W) IS the
+            # global spatial mean (reference :126-127)
+            enc = (
+                flat_ops.mean_flat_packed(encf, eh, ew, self.num_filters[-1])
+                if last_packed
+                else flat_ops.mean_flat(encf, eh, ew)
+            )
+        else:
+            enc = EncoderPyramid(
+                self.num_filters, self.n_convs_per_block, dtype=self.dtype
+            )(x)
+            # Global spatial mean (reference :126-127) — one fused reduction.
+            enc = jnp.mean(enc, axis=(1, 2))
         mu_log_sigma = nn.Dense(
             2 * self.latent_dim,
             kernel_init=orthogonal,

@@ -35,8 +35,24 @@ class PUNetBackbone(nn.Module):
     num_classes: Optional[int] = None  # None => apply_last_layer=False
     dtype: jnp.dtype = jnp.float32
 
+    def _flat_plan(self, x: jax.Array):
+        """Flat-pipeline eligibility at this input geometry (None = image
+        path). Only taken on TPU with the Pallas kernels enabled."""
+        from .blocks import pallas_conv_enabled
+        from .flat_ops import flat_pipeline_plan
+
+        if self.n_convs_per_block != 3 or not pallas_conv_enabled():
+            return None
+        b, h, w, cin = x.shape
+        return flat_pipeline_plan(
+            h, w, cin, self.num_filters, with_decoder=True
+        )
+
     @nn.compact
     def __call__(self, x: jax.Array) -> jax.Array:
+        plan = self._flat_plan(x)
+        if plan is not None:
+            return self._call_flat(x, plan)
         depth = len(self.num_filters)
         skips = []
         for i, feats in enumerate(self.num_filters):
@@ -60,6 +76,56 @@ class PUNetBackbone(nn.Module):
                 dtype=self.dtype,
             )(x)
         return x
+
+    def _call_flat(self, x: jax.Array, plan) -> jax.Array:
+        """The flat activation pipeline: image layout only at the input and
+        the returned feature map — every block edge (pool, upsample, skip
+        concat) stays in the margin-0 flat layouts (see flat_ops)."""
+        from . import flat_ops
+
+        b, h0, w0, cin = x.shape
+        depth = len(self.num_filters)
+        x = x.astype(self.dtype)
+        packed0 = plan["l0_packed"]
+        xf = flat_ops.to_flat_packed(x) if packed0 else flat_ops.to_flat(x)
+
+        skips = []  # (flat, (h, w), channels)
+        h, w, ci = h0, w0, cin
+        for i, feats in enumerate(self.num_filters):
+            xf = ConvBlock(
+                feats, n_convs=self.n_convs_per_block, pool=(i > 0),
+                dtype=self.dtype,
+            )(xf, flat_geom=(h, w, ci))
+            if i > 0:
+                h, w = h // 2, w // 2
+            if i != depth - 1:
+                skips.append((xf, (h, w), feats))
+            ci = feats
+
+        for i in range(depth - 2, -1, -1):
+            bridge, (bh, bw), cb = skips[i]
+            packed = i == 0 and plan["dec_packed"]
+            xf = UpBlock(
+                self.num_filters[i], n_convs=self.n_convs_per_block,
+                dtype=self.dtype,
+            )(xf, bridge, flat_geom=(h, w, ci, cb, packed))
+            h, w = bh, bw
+            ci = self.num_filters[i]
+
+        out = (
+            flat_ops.from_flat_packed(xf, h, w)
+            if plan["dec_packed"]
+            else flat_ops.from_flat(xf, h, w)
+        )
+        if self.num_classes is not None:
+            out = nn.Conv(
+                self.num_classes,
+                (1, 1),
+                kernel_init=he_normal,
+                bias_init=trunc_normal_bias(),
+                dtype=self.dtype,
+            )(out)
+        return out
 
 
 class _DoubleConv(nn.Module):
