@@ -139,11 +139,16 @@ def bench_mc():
 
     print(f"xla tail: {timed(xla_tail):.3f} ms", flush=True)
     for pack in (False, True):
-        fn = lambda f, z, pack=pack: mc_consensus_decode(
-            f, z, mid_k, mid_b, last_k, last_b,
-            n_samples=S, masking=True, row_tile=512, pack=pack,
-        )
-        print(f"kernel pack={pack}: {timed(fn):.3f} ms", flush=True)
+        for bs in (False, True):
+            fn = lambda f, z, pack=pack, bs=bs: mc_consensus_decode(
+                f, z, mid_k, mid_b, last_k, last_b,
+                n_samples=S, masking=True, row_tile=512, pack=pack,
+                batch_samples=bs,
+            )
+            print(
+                f"kernel pack={pack} batch={bs}: {timed(fn):.3f} ms",
+                flush=True,
+            )
 
 
 if __name__ == "__main__":

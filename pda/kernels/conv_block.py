@@ -44,6 +44,18 @@ import jax.numpy as jnp
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
+
+def _compiler_params(vmem_mb: int = 120):
+    """Shared CompilerParams: VMEM budget + optional grid dimension
+    semantics (PDA_PALLAS_DIMSEM=1 marks (batch, band) as (parallel,
+    arbitrary), letting Mosaic double-buffer across bands)."""
+    import os
+
+    kw = dict(vmem_limit_bytes=vmem_mb * 1024 * 1024)
+    if os.environ.get("PDA_PALLAS_DIMSEM", "0") == "1":
+        kw["dimension_semantics"] = ("parallel", "arbitrary")
+    return pltpu.CompilerParams(**kw)
+
 MARGIN = 4  # zero-ring width (>= 3-conv halo; 4 keeps halo blocks 8-aligned)
 HALO_ROWS = 8
 PAD_TAIL = 32  # in-kernel zero tail: dx-slice overrun budget
@@ -250,9 +262,7 @@ def conv_block_fused_canvas(
         in_specs=[core, halo, wspec, wspec, wspec, wspec, wspec, wspec],
         out_specs=(ospec, ospec, ospec) if save_intermediates else ospec,
         out_shape=(oshape, oshape, oshape) if save_intermediates else oshape,
-        compiler_params=pltpu.CompilerParams(
-            vmem_limit_bytes=120 * 1024 * 1024
-        ),
+        compiler_params=_compiler_params(),
         interpret=interpret,
     )(
         xc, xc,
@@ -303,9 +313,7 @@ def conv_block_fused_flat(
         in_specs=[xup, xcore, xdown, wspec, wspec, wspec, wspec, wspec, wspec],
         out_specs=(ospec, ospec, ospec) if save_intermediates else ospec,
         out_shape=(oshape, oshape, oshape) if save_intermediates else oshape,
-        compiler_params=pltpu.CompilerParams(
-            vmem_limit_bytes=120 * 1024 * 1024
-        ),
+        compiler_params=_compiler_params(),
         interpret=interpret,
     )(
         xf, xf, xf,

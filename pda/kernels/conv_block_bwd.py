@@ -49,6 +49,19 @@ from .conv_block import (
 )
 
 
+def _compiler_params(vmem_mb: int = 120):
+    """Shared CompilerParams: VMEM budget + optional grid dimension
+    semantics (PDA_PALLAS_DIMSEM=1 marks (batch, band) as (parallel,
+    arbitrary), letting Mosaic double-buffer across bands)."""
+    import os
+
+    kw = dict(vmem_limit_bytes=vmem_mb * 1024 * 1024)
+    if os.environ.get("PDA_PALLAS_DIMSEM", "0") == "1":
+        kw["dimension_semantics"] = ("parallel", "arbitrary")
+    return pltpu.CompilerParams(**kw)
+
+
+
 def _prep_fwd(w: jax.Array) -> jax.Array:
     """(3, 3, Cin, Cout) HWIO -> (3_dy, Cin, 3_dx*Cout) for the nocat stencil."""
     return jnp.transpose(w, (0, 2, 1, 3)).reshape(3, w.shape[2], 3 * w.shape[3])
@@ -285,8 +298,7 @@ def conv_block_bwd_canvas(
         ],
         out_specs=out_specs,
         out_shape=out_shapes,
-        compiler_params=pltpu.CompilerParams(
-            vmem_limit_bytes=120 * 1024 * 1024),
+        compiler_params=_compiler_params(),
         interpret=interpret,
     )(
         xc, xc, gc, gc, h3f, h3f, h3f,
@@ -382,8 +394,7 @@ def conv_block_bwd_flat(
         ],
         out_specs=out_specs,
         out_shape=out_shapes,
-        compiler_params=pltpu.CompilerParams(
-            vmem_limit_bytes=120 * 1024 * 1024),
+        compiler_params=_compiler_params(),
         interpret=interpret,
     )(
         xf, xf, xf, gf, gf, gf, h3f, h3f, h3f,

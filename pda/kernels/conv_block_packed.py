@@ -53,6 +53,18 @@ import jax.numpy as jnp
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
+
+def _compiler_params(vmem_mb: int = 120):
+    """Shared CompilerParams: VMEM budget + optional grid dimension
+    semantics (PDA_PALLAS_DIMSEM=1 marks (batch, band) as (parallel,
+    arbitrary), letting Mosaic double-buffer across bands)."""
+    import os
+
+    kw = dict(vmem_limit_bytes=vmem_mb * 1024 * 1024)
+    if os.environ.get("PDA_PALLAS_DIMSEM", "0") == "1":
+        kw["dimension_semantics"] = ("parallel", "arbitrary")
+    return pltpu.CompilerParams(**kw)
+
 MARGIN = 4          # zero-ring width in flat positions (even, >= 3-conv halo)
 HALO_IMG_ROWS = 8   # halo band height in image rows
 PAD_TAIL = 24       # packed-row zero tail (>= 2*wpp overrun never happens;
@@ -310,9 +322,7 @@ def conv_block_packed_canvas(
         in_specs=[core, halo] + [wspec] * 9,
         out_specs=(ospec, ospec, ospec) if save_intermediates else ospec,
         out_shape=(oshape, oshape, oshape) if save_intermediates else oshape,
-        compiler_params=pltpu.CompilerParams(
-            vmem_limit_bytes=120 * 1024 * 1024
-        ),
+        compiler_params=_compiler_params(),
         interpret=interpret,
     )(xc, xc, *packed)
     return out
@@ -361,9 +371,7 @@ def conv_block_packed_flat(
         in_specs=[xup, xcore, xdown] + [wspec] * 9,
         out_specs=(ospec, ospec, ospec) if save_intermediates else ospec,
         out_shape=(oshape, oshape, oshape) if save_intermediates else oshape,
-        compiler_params=pltpu.CompilerParams(
-            vmem_limit_bytes=120 * 1024 * 1024
-        ),
+        compiler_params=_compiler_params(),
         interpret=interpret,
     )(xf, xf, xf, *packed)
     return out

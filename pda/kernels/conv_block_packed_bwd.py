@@ -48,6 +48,19 @@ from .conv_block_packed import (
 )
 
 
+def _compiler_params(vmem_mb: int = 120):
+    """Shared CompilerParams: VMEM budget + optional grid dimension
+    semantics (PDA_PALLAS_DIMSEM=1 marks (batch, band) as (parallel,
+    arbitrary), letting Mosaic double-buffer across bands)."""
+    import os
+
+    kw = dict(vmem_limit_bytes=vmem_mb * 1024 * 1024)
+    if os.environ.get("PDA_PALLAS_DIMSEM", "0") == "1":
+        kw["dimension_semantics"] = ("parallel", "arbitrary")
+    return pltpu.CompilerParams(**kw)
+
+
+
 def _prep_dgrad(w: jax.Array):
     """HWIO -> packed (Wc, Wm) blocks of the input-gradient conv (flipped,
     io-swapped kernel)."""
@@ -219,8 +232,7 @@ def conv_block_packed_bwd_canvas(
         ],
         out_specs=out_specs,
         out_shape=out_shapes,
-        compiler_params=pltpu.CompilerParams(
-            vmem_limit_bytes=120 * 1024 * 1024),
+        compiler_params=_compiler_params(),
         interpret=interpret,
     )(xc, xc, gc, gc, h3f, h3f, h3f, h1f, h1f, h1f, h2f, h2f, h2f, *wd)
     dx_b, dw1p, db1p, dw2p, db2p, dw3p, db3p = outs
@@ -310,8 +322,7 @@ def conv_block_packed_bwd_flat(
         ],
         out_specs=out_specs,
         out_shape=out_shapes,
-        compiler_params=pltpu.CompilerParams(
-            vmem_limit_bytes=120 * 1024 * 1024),
+        compiler_params=_compiler_params(),
         interpret=interpret,
     )(xf, xf, xf, gf, gf, gf, h3f, h3f, h3f, h1f, h1f, h1f, h2f, h2f, h2f,
       *wd)

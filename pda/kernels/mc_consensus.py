@@ -48,7 +48,7 @@ def _logit(p: float) -> float:
 
 def _kernel(feat_ref, z_ref, mids_ref, mid_b_ref, wl_ref, bl_ref,
             mean_ref, cons_ref, *, n_samples: int, n_mid: int,
-            logit_hi: float, logit_lo: float):
+            logit_hi: float, logit_lo: float, batch_samples: bool = False):
     feat = feat_ref[:]  # (1, TR, C) block, compute dtype (f32 or bf16)
     feat = feat[0]
     tr = feat.shape[0]
@@ -58,6 +58,40 @@ def _kernel(feat_ref, z_ref, mids_ref, mid_b_ref, wl_ref, bl_ref,
 
     acc_mean = jnp.zeros((tr, n_out), jnp.float32)
     acc_agree = jnp.zeros((tr, n_out), jnp.float32)
+
+    if batch_samples:
+        # ALL samples in one (S*TR, C) operand: the mid layers become one
+        # MXU-sized contraction per layer instead of S serial (TR, C) @
+        # (C, C) chains that leave the MXU idle between dependent steps.
+        h = jnp.concatenate(
+            [
+                jnp.maximum(
+                    feat + z_ref[s, b_idx, :][None, :].astype(dtype), 0.0
+                )
+                for s in range(n_samples)
+            ],
+            axis=0,
+        )
+        for m in range(n_mid):
+            h = jnp.maximum(
+                jnp.dot(h, mids_ref[m], preferred_element_type=jnp.float32)
+                + mid_b_ref[m, :][None, :],
+                0.0,
+            ).astype(dtype)
+        logit = (
+            jnp.dot(h, wl_ref[:], preferred_element_type=jnp.float32)
+            + bl_ref[0, 0]
+        )
+        for s in range(n_samples):
+            sl = logit[s * tr : (s + 1) * tr, :]
+            acc_mean = acc_mean + jax.nn.sigmoid(sl)
+            acc_agree = acc_agree + jnp.where(
+                jnp.logical_or(sl >= logit_hi, sl <= logit_lo), 1.0, 0.0
+            )
+        inv = 1.0 / n_samples
+        mean_ref[:] = (acc_mean * inv)[None]
+        cons_ref[:] = (acc_agree * inv)[None]
+        return
 
     for s in range(n_samples):
         # z rows stay f32 (tiny; bf16 single-row loads break Mosaic tiling)
@@ -102,7 +136,7 @@ def _block_diag2(w: jax.Array) -> jax.Array:
 @functools.partial(
     jax.jit,
     static_argnames=("n_samples", "masking", "row_tile", "upper", "lower",
-                     "pack"),
+                     "pack", "batch_samples"),
 )
 def mc_consensus_decode(
     feat_term: jax.Array,  # (B, H, W, C) — features @ W_feat (z-independent)
@@ -118,6 +152,7 @@ def mc_consensus_decode(
     upper: float = UPPER_THRESHOLD,
     lower: float = LOWER_THRESHOLD,
     pack: bool = False,
+    batch_samples: bool = False,
 ) -> Tuple[jax.Array, jax.Array]:
     """(pseudo, consensus) of shape (B, H, W, 1), float32.
 
@@ -147,6 +182,7 @@ def mc_consensus_decode(
         n_mid=n_mid,
         logit_hi=_logit(upper),
         logit_lo=_logit(lower),
+        batch_samples=batch_samples,
     )
     mean, cons = pl.pallas_call(
         kernel,

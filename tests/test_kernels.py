@@ -26,7 +26,8 @@ def _setup(hw=32, batch=2):
 class TestMCConsensusKernel:
     @pytest.mark.parametrize("masking", [False, True])
     @pytest.mark.parametrize("pack", [False, True])
-    def test_matches_xla_path(self, masking, pack):
+    @pytest.mark.parametrize("batch_samples", [False, True])
+    def test_matches_xla_path(self, masking, pack, batch_samples):
         from pda.kernels.mc_consensus import fcomb_tail_weights, mc_consensus_decode
 
         model, params, x = _setup()
@@ -53,6 +54,7 @@ class TestMCConsensusKernel:
             pseudo, cons = mc_consensus_decode(
                 feat_term, z_terms, mid_k, mid_b, last_k, last_b,
                 n_samples=n, masking=masking, row_tile=256, pack=pack,
+                batch_samples=batch_samples,
             )
 
         np.testing.assert_allclose(pseudo, ref_pseudo, rtol=1e-5, atol=1e-5)
