@@ -76,6 +76,8 @@ def main():
 
     import re
 
+    instances = "--instances" in sys.argv
+
     op_tot = collections.Counter()
     op_cnt = collections.Counter()
     for e in events:
@@ -85,8 +87,11 @@ def main():
         # leaf XLA ops only: skip the module envelope and step-number lanes
         if name.startswith("jit_") or re.fullmatch(r"\d+", name):
             continue
-        group = re.sub(r"[.\d]+$", "", name)
-        group = re.sub(r"\d+$", "", group)
+        if instances:
+            group = name
+        else:
+            group = re.sub(r"[.\d]+$", "", name)
+            group = re.sub(r"\d+$", "", group)
         op_tot[group] += e["dur"]
         op_cnt[group] += 1
     total = sum(op_tot.values())

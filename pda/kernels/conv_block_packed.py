@@ -193,6 +193,32 @@ def _make_stencil(wpp: int):
         half = cin2 // 2
         lane = jax.lax.broadcasted_iota(jnp.int32, (n_out, cin2), 1)
         top = lane < half
+        if 3 * cin2 <= 128:
+            # Small-K fold (input-level blocks, Cin <= 21): each n-row MXU
+            # pass costs the same flow time whether K is 4 or 128, so the
+            # three dy contractions per operand kind are lane-concatenated
+            # into ONE (n, 3*cin2) @ (3*cin2, 2C) pass — 6 passes -> 2.
+            # (Concat is over dy only: those slices share a sublane offset
+            # mod 8 since wpp % 16 == 0; mixing the +-1-offset left/right
+            # slices in one concat is rejected by Mosaic.)
+            centers, mixeds, wcs, wms = [], [], [], []
+            for dy in (0, 1, 2):
+                base = off0 + dy * wpp
+                center = h[base + 1 : base + 1 + n_out, :]
+                left = h[base : base + n_out, :]
+                right = h[base + 2 : base + 2 + n_out, :]
+                centers.append(center)
+                mixeds.append(jnp.where(top, right, left))
+                wcs.append(wc_ref[dy])
+                wms.append(wm_ref[dy])
+            r = jax.lax.dot_general(
+                jnp.concatenate(centers, axis=-1),
+                jnp.concatenate(wcs, axis=0),
+                (((1,), (0,)), ((), ())), preferred_element_type=jnp.float32)
+            return r + jax.lax.dot_general(
+                jnp.concatenate(mixeds, axis=-1),
+                jnp.concatenate(wms, axis=0),
+                (((1,), (0,)), ((), ())), preferred_element_type=jnp.float32)
         acc = None
         for dy in (0, 1, 2):
             base = off0 + dy * wpp

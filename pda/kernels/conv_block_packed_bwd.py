@@ -20,8 +20,23 @@ VMEM:
     2s (+-1) decomposes into a packed-row shift s plus a lane-half swap.
   * bias-gradient partials (summed lane halves on the host side).
 
-Requires the forward's streamed intermediates h1/h2 (the production
-custom-VJP path always saves them); there is no in-kernel recompute variant.
+Two intermediate-activation modes (flat path):
+
+  * streaming (default): the forward saves h1/h2 as packed margin-0 flats
+    and the backward reads them through clamped three-view band reads;
+  * ``recompute=True``: h1/h2 are recomputed IN-KERNEL from the x band with
+    the forward stencil (the forward then skips writing them). At the
+    input-level geometries (Cin <= 2) this trades ~2 almost-free MXU layers
+    for ~4 full-tensor HBM streams per block — the x band is resident for
+    dw1 anyway. Recomputed h1 sits at base 1 (tail 18), h2 at base 2 (tail
+    16); both are exact on every row the gradient chain consumes (h1 valid
+    on band rows [1, rt+7), used on [3, rt+5]; h2 valid on [2, rt+6), used
+    on [2, rt+5]).
+
+``need_dx=False`` additionally skips the input-cotangent chain (the dgrad
+stencil and its full-tensor output) — for blocks whose input is the network
+input, dx is discarded by the caller, but the kernel would otherwise still
+compute and stream it.
 """
 
 from __future__ import annotations
@@ -71,16 +86,24 @@ def _kernel(
     *allrefs,
     rt: int, wpp: int, h_img: int, w_img: int, dtype,
     flat_io: bool = False,
+    need_dx: bool = True,
+    recompute: bool = False,
 ):
     if flat_io:
         (xu_ref, xc_ref, xd_ref, gu_ref, gc_ref, gd_ref, *refs) = allrefs
     else:
         (xc_ref, xh_ref, gc_ref, gh_ref, *refs) = allrefs
-    (h3u_ref, h3c_ref, h3d_ref,
-     h1u_ref, h1c_ref, h1d_ref,
-     h2u_ref, h2c_ref, h2d_ref,
-     wd1c_ref, wd1m_ref, wd2c_ref, wd2m_ref, wd3c_ref, wd3m_ref,
-     dx_ref, dw1_ref, db1_ref, dw2_ref, db2_ref, dw3_ref, db3_ref) = refs
+    (h3u_ref, h3c_ref, h3d_ref, *refs) = refs
+    if recompute:
+        (wc1_ref, wm1_ref, b1_ref, wc2_ref, wm2_ref, b2_ref, *refs) = refs
+    else:
+        (h1u_ref, h1c_ref, h1d_ref, h2u_ref, h2c_ref, h2d_ref, *refs) = refs
+    if need_dx:
+        (wd1c_ref, wd1m_ref, *refs) = refs
+    (wd2c_ref, wd2m_ref, wd3c_ref, wd3m_ref, *refs) = refs
+    if need_dx:
+        (dx_ref, *refs) = refs
+    (dw1_ref, db1_ref, dw2_ref, db2_ref, dw3_ref, db3_ref) = refs
     stencil = _make_stencil(wpp)
     n = pl.program_id(1)
     nb = pl.num_programs(1)
@@ -92,11 +115,9 @@ def _kernel(
     else:
         x = assemble_band(xc_ref, xh_ref, dtype)
         g = assemble_band(gc_ref, gh_ref, dtype)
-    # h1/h2/h3 stream straight from the forward's margin-0 flats (canvas-free
-    # three-view reads); content is identical to the old row-padded canvases
+    # h3 streams from the forward's margin-0 flat (canvas-free three-view
+    # reads); content is identical to the old row-padded canvas
     h3 = assemble_flat_band(h3u_ref, h3c_ref, h3d_ref, n, nb, dtype)
-    h1b = assemble_flat_band(h1u_ref, h1c_ref, h1d_ref, n, nb, dtype)
-    h2b = assemble_flat_band(h2u_ref, h2c_ref, h2d_ref, n, nb, dtype)
 
     # Base chain 0 -> 1 -> 2 -> 3: unlike the unpacked kernel (margin 4 flat
     # positions >= any base) the packed column margin is only MARGIN/2 = 2
@@ -108,40 +129,93 @@ def _kernel(
     l_da1 = (rt + 3) * wpp
     l_dx = (rt + 1) * wpp
 
+    if recompute:
+        # h1 (base 1) / h2 (base 2) from the resident x band via the forward
+        # stencil — exact on every row the chain consumes (module docstring)
+        img_mask = _make_img_mask(wpp, rt, h_img, w_img)
+
+        def fwd_layer(hin, wc_ref, wm_ref, b_ref, l_out, tail, base):
+            n_out = l_out + tail
+            acc = stencil(hin, wc_ref, wm_ref, l_out, 0, tail)
+            out = jnp.maximum(acc + b_ref[0][None, :], 0.0)
+            out = jnp.where(img_mask(n, n_out, base), out, 0.0)
+            return out.astype(dtype)
+
+        h1_rc = fwd_layer(x, wc1_ref, wm1_ref, b1_ref, (rt + 6) * wpp, 18, 1)
+        h2_rc = fwd_layer(
+            h1_rc, wc2_ref, wm2_ref, b2_ref, (rt + 4) * wpp, 16, 2)
+        # da2's base-1 buffer starts wpp+1 indices before base-2 h2; those
+        # rows are never consumed downstream — zero-fill them (relu' = 0)
+        h2_for_da2 = jnp.concatenate(
+            [jnp.zeros((wpp + 1, h2_rc.shape[-1]), dtype),
+             h2_rc[: l_da2 + 16 - (wpp + 1), :]],
+            axis=0,
+        )
+        h1_for_da1 = h1_rc[(wpp + 1) : (wpp + 1) + l_da1 + 8, :]
+        h1_wg, h1_base, h2_wg, h2_base = h1_rc, 1, h2_rc, 2
+    else:
+        # h1/h2 stream straight from the forward's margin-0 flats
+        h1b = assemble_flat_band(h1u_ref, h1c_ref, h1d_ref, n, nb, dtype)
+        h2b = assemble_flat_band(h2u_ref, h2c_ref, h2d_ref, n, nb, dtype)
+        h2_for_da2 = h2b[(wpp + 1) : (wpp + 1) + l_da2 + 16, :]
+        h1_for_da1 = h1b[2 * (wpp + 1) : 2 * (wpp + 1) + l_da1 + 8, :]
+        h1_wg, h1_base, h2_wg, h2_base = h1b, 0, h2b, 0
+
     # da3 (base 0, full band): g * relu'(h3); ring lanes zero via g's ring
     da3 = jnp.where(h3.astype(jnp.float32) > 0.0, g, 0).astype(dtype)
 
     # da2 (base 1): dgrad of da3 (base jump 1 -> off0 = 0); relu'(h2)
-    h2_for_da2 = h2b[(wpp + 1) : (wpp + 1) + l_da2 + 16, :]
     r2 = stencil(da3, wd3c_ref, wd3m_ref, l_da2, 0, 16)
     da2 = jnp.where(h2_for_da2.astype(jnp.float32) > 0.0, r2, 0.0).astype(dtype)
 
     # da1 (base 2): dgrad of da2 (jump 1 -> off0 = 0); relu'(h1)
-    h1_for_da1 = h1b[2 * (wpp + 1) : 2 * (wpp + 1) + l_da1 + 8, :]
     r1 = stencil(da2, wd2c_ref, wd2m_ref, l_da1, 0, 8)
     da1 = jnp.where(h1_for_da1.astype(jnp.float32) > 0.0, r1, 0.0).astype(dtype)
 
-    # dx (base 3): owned rows [4, rt+4) start at j = wpp - 3
-    r_dx = stencil(da1, wd1c_ref, wd1m_ref, l_dx, 0, 0)
-    dx_ref[0] = r_dx[wpp - 3 : wpp - 3 + rt * wpp, :].astype(dtype)
+    if need_dx:
+        # dx (base 3): owned rows [4, rt+4) start at j = wpp - 3
+        r_dx = stencil(da1, wd1c_ref, wd1m_ref, l_dx, 0, 0)
+        dx_ref[0] = r_dx[wpp - 3 : wpp - 3 + rt * wpp, :].astype(dtype)
 
     # ---- packed weight/bias gradient partials over owned rows [4, rt+4)
     def wgrad(h_in, base_i: int, da, base_o: int, dw_ref, db_ref):
         own0 = (MARGIN - base_o) * wpp - base_o
         da_own = da[own0 : own0 + rt * wpp, :]
-        for dy in range(3):
+        lanes = h_in.shape[-1]
+        if 3 * lanes <= 128:
+            # Small-lane fold (dw1 at input-level blocks): the nine
+            # (rt*wpp, lanes)^T @ (rt*wpp, 2C) taps each flow rt*wpp rows
+            # through the MXU for a tiny (lanes, 2C) result. Concatenating
+            # the three dy slices per s-shift (equal sublane offsets:
+            # wpp % 16 == 0) flows once per shift — 9 passes -> 3.
             for s_idx, s_off in enumerate((-1, 0, 1)):
-                start = (MARGIN + dy - 1 - base_i) * wpp - base_i + s_off
-                dw_ref[0, 0, dy * 3 + s_idx] = jax.lax.dot_general(
-                    h_in[start : start + rt * wpp, :], da_own,
+                cols = []
+                for dy in range(3):
+                    start = (MARGIN + dy - 1 - base_i) * wpp - base_i + s_off
+                    cols.append(h_in[start : start + rt * wpp, :])
+                m = jax.lax.dot_general(
+                    jnp.concatenate(cols, axis=-1), da_own,
                     (((0,), (0,)), ((), ())),
                     preferred_element_type=jnp.float32,
                 )
+                for dy in range(3):
+                    dw_ref[0, 0, dy * 3 + s_idx] = m[
+                        dy * lanes : (dy + 1) * lanes, :
+                    ]
+        else:
+            for dy in range(3):
+                for s_idx, s_off in enumerate((-1, 0, 1)):
+                    start = (MARGIN + dy - 1 - base_i) * wpp - base_i + s_off
+                    dw_ref[0, 0, dy * 3 + s_idx] = jax.lax.dot_general(
+                        h_in[start : start + rt * wpp, :], da_own,
+                        (((0,), (0,)), ((), ())),
+                        preferred_element_type=jnp.float32,
+                    )
         db_ref[0, 0] = jnp.sum(
             da_own.astype(jnp.float32), axis=0, keepdims=True)
 
-    wgrad(h2b, 0, da3, 0, dw3_ref, db3_ref)
-    wgrad(h1b, 0, da2, 1, dw2_ref, db2_ref)
+    wgrad(h2_wg, h2_base, da3, 0, dw3_ref, db3_ref)
+    wgrad(h1_wg, h1_base, da2, 1, dw2_ref, db2_ref)
     wgrad(x, 0, da1, 2, dw1_ref, db1_ref)
 
 
@@ -253,22 +327,33 @@ def conv_block_packed_bwd_canvas(
     )
 
 
-@functools.partial(jax.jit, static_argnames=("h", "w", "row_tile", "interpret"))
+@functools.partial(
+    jax.jit,
+    static_argnames=("h", "w", "row_tile", "interpret", "need_dx",
+                     "recompute"),
+)
 def conv_block_packed_bwd_flat(
     xf: jax.Array,   # (B, H*wpp, 2*Cin) margin-0 packed flat of the input
     h3f: jax.Array,  # (B, H*wpp, 2*C) packed fwd output flat
     gf: jax.Array,   # (B, H*wpp, 2*C) margin-0 packed flat of the cotangent
-    h1f: jax.Array, h2f: jax.Array,
+    h1f, h2f,        # packed margin-0 flats, or None when ``recompute``
     h: int, w: int,
     w1: jax.Array, w2: jax.Array, w3: jax.Array,
     *,
+    b1: jax.Array = None, b2: jax.Array = None,  # fwd biases (recompute only)
     row_tile: int = 16,
     interpret: bool = False,
+    need_dx: bool = True,
+    recompute: bool = False,
 ):
     """Fully flat packed backward: x, g and the saved activations all stream
     as margin-0 packed flats, and dx comes back as one too (the kernel's
     owned-row slice already lands on that layout). Returns
-    (dxf, dw1, db1, dw2, db2, dw3, db3); dw in HWIO f32."""
+    (dxf, dw1, db1, dw2, db2, dw3, db3); dw in HWIO f32.
+
+    ``recompute=True`` recomputes h1/h2 in-kernel from the x band (pass
+    h1f=h2f=None and the forward biases b1/b2). ``need_dx=False`` skips the
+    input-cotangent chain entirely and returns dxf=None."""
     b = xf.shape[0]
     cin = xf.shape[-1] // 2
     c = w1.shape[-1]
@@ -279,7 +364,8 @@ def conv_block_packed_bwd_flat(
     dtype = xf.dtype
 
     kernel = functools.partial(
-        _kernel, rt=rt, wpp=wpp, h_img=h, w_img=w, dtype=dtype, flat_io=True)
+        _kernel, rt=rt, wpp=wpp, h_img=h, w_img=w, dtype=dtype, flat_io=True,
+        need_dx=need_dx, recompute=recompute)
     vmem = pl.BlockSpec(memory_space=pltpu.VMEM)
     xup, xcore, xdown = flat_views(rt, wpp, 2 * cin, nb)
     hup, hcore, hdown = flat_views(rt, wpp, 2 * c, nb)
@@ -298,35 +384,52 @@ def conv_block_packed_bwd_flat(
             jax.ShapeDtypeStruct((b, nb, 1, 2 * c), jnp.float32),
         )
 
-    out_shapes = (
-        jax.ShapeDtypeStruct((b, nb * rt * wpp, 2 * cin), dtype),
-        *dw_shapes(cin), *dw_shapes(c), *dw_shapes(c),
-    )
-    out_specs = (
-        pl.BlockSpec((1, rt * wpp, 2 * cin), lambda i, n: (i, n, 0),
-                     memory_space=pltpu.VMEM),
-        *dw_specs(cin), *dw_specs(c), *dw_specs(c),
-    )
+    in_specs = [xup, xcore, xdown, hup, hcore, hdown,  # x; g (2C lane spec)
+                hup, hcore, hdown]                     # h3
+    inputs = [xf, xf, xf, gf, gf, gf, h3f, h3f, h3f]
+    if recompute:
+        from .conv_block_packed import pack_weights
 
-    wd = []
-    for wk in (w1, w2, w3):
+        for wk, bk in ((w1, b1), (w2, b2)):
+            wc, wm = pack_weights(wk.astype(dtype))
+            inputs += [wc, wm, jnp.tile(bk.astype(jnp.float32), 2)[None, :]]
+            in_specs += [vmem, vmem, vmem]
+    else:
+        in_specs += [hup, hcore, hdown, hup, hcore, hdown]
+        inputs += [h1f, h1f, h1f, h2f, h2f, h2f]
+    dgrad_ws = (w1, w2, w3) if need_dx else (w2, w3)
+    for wk in dgrad_ws:
         wc, wm = _prep_dgrad(wk.astype(dtype))
-        wd += [wc, wm]
+        inputs += [wc, wm]
+        in_specs += [vmem, vmem]
+
+    out_shapes = (*dw_shapes(cin), *dw_shapes(c), *dw_shapes(c))
+    out_specs = (*dw_specs(cin), *dw_specs(c), *dw_specs(c))
+    if need_dx:
+        out_shapes = (
+            jax.ShapeDtypeStruct((b, nb * rt * wpp, 2 * cin), dtype),
+            *out_shapes,
+        )
+        out_specs = (
+            pl.BlockSpec((1, rt * wpp, 2 * cin), lambda i, n: (i, n, 0),
+                         memory_space=pltpu.VMEM),
+            *out_specs,
+        )
+
     outs = pl.pallas_call(
         kernel,
         grid=(b, nb),
-        in_specs=[
-            xup, xcore, xdown, hup, hcore, hdown,  # g shares the 2C lane spec
-            hup, hcore, hdown, hup, hcore, hdown, hup, hcore, hdown,
-            vmem, vmem, vmem, vmem, vmem, vmem,
-        ],
+        in_specs=in_specs,
         out_specs=out_specs,
         out_shape=out_shapes,
         compiler_params=_compiler_params(),
         interpret=interpret,
-    )(xf, xf, xf, gf, gf, gf, h3f, h3f, h3f, h1f, h1f, h1f, h2f, h2f, h2f,
-      *wd)
-    dxf, dw1p, db1p, dw2p, db2p, dw3p, db3p = outs
+    )(*inputs)
+    if need_dx:
+        dxf, dw1p, db1p, dw2p, db2p, dw3p, db3p = outs
+    else:
+        dxf = None
+        dw1p, db1p, dw2p, db2p, dw3p, db3p = outs
 
     def _db(p):
         s = jnp.sum(p, axis=(0, 1))[0]

@@ -411,26 +411,44 @@ def conv3_relu_flat_packed(h, w, xf, w1, b1, w2, b2, w3, b3):
     )
 
 
+def _packed_input_block(cin: int) -> bool:
+    """Input-level packed blocks (Cin <= 2: the pipeline entries — image or
+    image+mask concat) skip the backward's input-cotangent chain entirely
+    (dx comes back as zeros and is DCE'd — the network input has no gradient
+    consumer), dropping the dgrad stencil's MXU passes and the full-tensor
+    dx stream. Set PDA_PALLAS_DX=1 to restore exact dx (e.g. for
+    input-gradient methods). Note: in-kernel h1/h2 recompute was measured
+    SLOWER than streaming here (the kernels are MXU-pass-bound, not
+    BW-bound: +12 recompute passes cost more than 4 full-tensor streams
+    save), so the saved intermediates always stream."""
+    return cin <= 2 and os.environ.get("PDA_PALLAS_DX", "0") != "1"
+
+
 def _conv3fp_fwd(h, w, xf, w1, b1, w2, b2, w3, b3):
     from ..kernels.conv_block_packed import conv_block_packed_flat
 
-    rt = _packed_fwd_row_tile(h, xf.shape[-1] // 2, w1.shape[-1])
+    cin = xf.shape[-1] // 2
+    rt = _packed_fwd_row_tile(h, cin, w1.shape[-1])
     outf, h1f, h2f = conv_block_packed_flat(
         xf, h, w, w1, b1, w2, b2, w3, b3,
         row_tile=rt, save_intermediates=True,
     )
-    return outf, (xf, outf, h1f, h2f, w1, w2, w3)
+    return outf, (xf, outf, h1f, h2f, w1, b1, w2, b2, w3)
 
 
 def _conv3fp_bwd(h, w, res, g):
     from ..kernels.conv_block_packed_bwd import conv_block_packed_bwd_flat
 
-    xf, outf, h1f, h2f, w1, w2, w3 = res
-    rt = _packed_bwd_row_tile(h, xf.shape[-1] // 2, w1.shape[-1])
+    xf, outf, h1f, h2f, w1, b1, w2, b2, w3 = res
+    cin = xf.shape[-1] // 2
+    rt = _packed_bwd_row_tile(h, cin, w1.shape[-1])
     dxf, dw1, db1, dw2, db2, dw3, db3 = conv_block_packed_bwd_flat(
         xf, outf, g.astype(xf.dtype), h1f, h2f,
-        h, w, w1, w2, w3, row_tile=rt,
+        h, w, w1, w2, w3, b1=b1, b2=b2, row_tile=rt,
+        need_dx=not _packed_input_block(cin),
     )
+    if dxf is None:
+        dxf = jnp.zeros_like(xf)  # input block: no gradient consumer; DCE'd
     return dxf, dw1, db1, dw2, db2, dw3, db3
 
 

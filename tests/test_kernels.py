@@ -387,3 +387,40 @@ class TestFlatKernelVariants:
         ):
             rel = float(jnp.abs(a - r).max() / (jnp.abs(r).max() + 1e-9))
             assert rel < 2e-5, (name, rel)
+
+    @pytest.mark.parametrize(
+        "shape,c,rt", [((2, 32, 32, 1), 8, 16), ((1, 16, 48, 2), 8, 8)]
+    )
+    def test_flat_backward_packed_recompute(self, shape, c, rt):
+        """Byte-lean input-block backward: h1/h2 recomputed in-kernel from
+        the x band, no dx chain. Weight/bias grads must match autodiff."""
+        from pda.kernels.conv_block_packed import packed_wpp
+        from pda.kernels.conv_block_packed_bwd import (
+            conv_block_packed_bwd_flat, flat_m0 as flat_m0p,
+        )
+        from pda.models.blocks import _conv_same
+
+        x, ws, bs, g = self._mk(shape, c, 31)
+        b, h, w, cin = shape
+
+        def block(x, w1, b1, w2, b2, w3, b3):
+            hh = x
+            for wk, bk in ((w1, b1), (w2, b2), (w3, b3)):
+                hh = jnp.maximum(_conv_same(hh, wk) + bk, 0.0)
+            return hh
+
+        h3, vjp = jax.vjp(block, x, ws[0], bs[0], ws[1], bs[1], ws[2], bs[2])
+        ref = vjp(g)
+        wpp = packed_wpp(w)
+        out = conv_block_packed_bwd_flat(
+            flat_m0p(x, wpp), flat_m0p(h3, wpp), flat_m0p(g, wpp),
+            None, None,
+            h, w, ws[0], ws[1], ws[2], b1=bs[0], b2=bs[1],
+            row_tile=rt, interpret=True, need_dx=False, recompute=True,
+        )
+        assert out[0] is None
+        for name, a, r in zip(
+            ["dw1", "db1", "dw2", "db2", "dw3", "db3"], out[1:], ref[1:]
+        ):
+            rel = float(jnp.abs(a - r).max() / (jnp.abs(r).max() + 1e-9))
+            assert rel < 2e-5, (name, rel)
