@@ -171,13 +171,27 @@ def _kernel(
 
     def layer(h, w_ref, b_ref, l_out: int, tail: int, shift: int, mask: bool):
         n_out = l_out + tail
-        r = jax.lax.dot_general(
-            h[0 : n_out + 2, :], w_ref[0],
-            (((1,), (0,)), ((), ())), preferred_element_type=jnp.float32)
-        for dy in (1, 2):
-            r = r + jax.lax.dot_general(
-                h[dy * wp : dy * wp + n_out + 2, :], w_ref[dy],
+        cin = h.shape[-1]
+        if 3 * cin <= 256:
+            # Small-K dy-fold: 3 passes of K=cin < 128 cost 3 full MXU
+            # flows; one K=3*cin pass costs ceil(3*cin/128) <= 2. The dy
+            # slices share a sublane offset mod 8 (wp % 16 == 0).
+            r = jax.lax.dot_general(
+                jnp.concatenate(
+                    [h[dy * wp : dy * wp + n_out + 2, :] for dy in (0, 1, 2)],
+                    axis=-1,
+                ),
+                jnp.concatenate([w_ref[0], w_ref[1], w_ref[2]], axis=0),
                 (((1,), (0,)), ((), ())), preferred_element_type=jnp.float32)
+        else:
+            r = jax.lax.dot_general(
+                h[0 : n_out + 2, :], w_ref[0],
+                (((1,), (0,)), ((), ())), preferred_element_type=jnp.float32)
+            for dy in (1, 2):
+                r = r + jax.lax.dot_general(
+                    h[dy * wp : dy * wp + n_out + 2, :], w_ref[dy],
+                    (((1,), (0,)), ((), ())),
+                    preferred_element_type=jnp.float32)
         c = w_ref.shape[2] // 3
         acc = (r[0:n_out, 0:c] + r[1:n_out + 1, c:2 * c]
                + r[2:n_out + 2, 2 * c:3 * c])
