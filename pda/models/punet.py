@@ -34,9 +34,14 @@ from .unet import PUNetBackbone
 class PUNetEncoding(NamedTuple):
     """Everything ``encode`` produces; replaces the reference's mutated attrs."""
 
-    features: jax.Array  # (B, H, W, num_filters[0]) UNet decoder features
+    features: jax.Array  # (B, H, W, num_filters[0]) UNet decoder features, or
+    #                      a margin-0 flat when feat_geom is set
     prior: DiagGaussian  # (B, latent_dim)
     posterior: Optional[DiagGaussian]  # (B, latent_dim) when segm was given
+    #: layout of ``features``: None = image (B, H, W, C); else
+    #: (packed: bool, h: int, w: int) for the flat-pipeline layouts —
+    #: decode through :func:`fcomb_decode_flat` / :func:`mc_decode_logits`
+    feat_geom: Optional[tuple] = None
 
 
 class GaussianEncoder(nn.Module):
@@ -223,16 +228,36 @@ class ProbabilisticUnet(nn.Module):
             dtype=self.dtype,
         )
 
-    def encode(self, x: jax.Array, segm: Optional[jax.Array] = None) -> PUNetEncoding:
+    def encode(
+        self,
+        x: jax.Array,
+        segm: Optional[jax.Array] = None,
+        flat_features: bool = False,
+    ) -> PUNetEncoding:
         """Prior (+posterior if segm given) stats and UNet features.
 
         Reference ``forward`` (probabilistic_unet.py:285-293) minus the
         hidden state: everything is returned.
+
+        ``flat_features=True`` (hot-path option): on the flat pipeline the
+        feature map is returned in its margin-0 flat layout with
+        ``feat_geom`` set, skipping the flat->image conversion (and its pad
+        VJP) — decode through :func:`fcomb_decode_flat`. Falls back to the
+        image layout (feat_geom=None) off the flat pipeline.
         """
         posterior = self.posterior(x, segm) if segm is not None else None
         prior = self.prior(x)
-        features = self.unet(x)
-        return PUNetEncoding(features=features, prior=prior, posterior=posterior)
+        geom = None
+        if flat_features:
+            features = self.unet(x, keep_flat=True)
+            if isinstance(features, tuple):
+                features, packed = features
+                geom = (packed, x.shape[1], x.shape[2])
+        else:
+            features = self.unet(x)
+        return PUNetEncoding(
+            features=features, prior=prior, posterior=posterior, feat_geom=geom
+        )
 
     def decode(self, features: jax.Array, z: jax.Array) -> jax.Array:
         """Segmentation logits from features + one latent draw (reference
@@ -279,6 +304,80 @@ def decode(model: ProbabilisticUnet, params, features, z) -> jax.Array:
     return model.apply({"params": params}, features, z, method="decode")
 
 
+def _bd2(w: jax.Array) -> jax.Array:
+    """(Ci, Co) -> (2Ci, 2Co) block-diagonal [[W, 0], [0, W]] — applies a 1x1
+    conv independently to the two positions of a lane-packed row."""
+    z = jnp.zeros_like(w)
+    return jnp.concatenate(
+        [jnp.concatenate([w, z], axis=1), jnp.concatenate([z, w], axis=1)],
+        axis=0,
+    )
+
+
+def fcomb_feature_term_flat(
+    model: ProbabilisticUnet, fcomb_params, feat_flat: jax.Array, packed: bool
+) -> jax.Array:
+    """The z-independent first-layer half ON THE FLAT LAYOUT.
+
+    1x1 convs are per-position matmuls, so the Fcomb tail runs on the
+    backbone's margin-0 flat (packed or not) unchanged — per-pixel values are
+    identical to the image path; ring columns carry garbage that the final
+    slice drops. Packed rows (two positions per 128 lanes) use block-diagonal
+    kernels: full-K MXU contractions at half the row count."""
+    dt = model.dtype
+    wf = fcomb_params["feat_proj"]["kernel"].astype(dt)
+    if packed:
+        wf = _bd2(wf)
+    return jnp.dot(feat_flat.astype(dt), wf)
+
+
+def fcomb_decode_from_term_flat(
+    model: ProbabilisticUnet, fcomb_params, term: jax.Array, geom, z: jax.Array
+) -> jax.Array:
+    """Finish the flat decode for one z draw -> IMAGE logits (B, H, W, nc).
+
+    Mirrors Fcomb.decode_from_term exactly (same dtypes/order: bf16 Dense
+    chain, f32 cast after the last layer); the flat->image boundary is a
+    reshape + ring-column slice of the 1-channel logits instead of the
+    64-channel feature map."""
+    from ..kernels.conv_block import MARGIN, canvas_wp
+    from ..kernels.conv_block_packed import packed_wpp
+
+    packed, h, w = geom
+    dt = model.dtype
+    zp = fcomb_params["z_proj"]
+    zt = z.astype(dt) @ zp["kernel"].astype(dt) + zp["bias"].astype(dt)
+    if packed:
+        zt = jnp.concatenate([zt, zt], axis=-1)
+    hid = nn.relu(term + zt[:, None, :])
+    for m in sorted(k for k in fcomb_params if k.startswith("mid_")):
+        wk = fcomb_params[m]["kernel"].astype(dt)
+        bk = fcomb_params[m]["bias"].astype(dt)
+        if packed:
+            wk, bk = _bd2(wk), jnp.concatenate([bk, bk])
+        hid = nn.relu(hid @ wk + bk)
+    wl = fcomb_params["last_layer"]["kernel"].astype(dt)
+    bl = fcomb_params["last_layer"]["bias"].astype(dt)
+    if packed:
+        wl, bl = _bd2(wl), jnp.concatenate([bl, bl])
+    logits = (hid @ wl + bl).astype(jnp.float32)
+    nc = model.num_classes
+    b = logits.shape[0]
+    if packed:
+        img = logits.reshape(b, h, 2 * packed_wpp(w), nc)
+    else:
+        img = logits.reshape(b, h, canvas_wp(w), nc)
+    return img[:, :, MARGIN : MARGIN + w, :]
+
+
+def fcomb_decode_flat(
+    model: ProbabilisticUnet, fcomb_params, feat_flat, geom, z
+) -> jax.Array:
+    """Full flat decode (feature term + one z draw) -> image logits."""
+    term = fcomb_feature_term_flat(model, fcomb_params, feat_flat, geom[0])
+    return fcomb_decode_from_term_flat(model, fcomb_params, term, geom, z)
+
+
 def mc_decode_logits(
     model: ProbabilisticUnet,
     params,
@@ -286,15 +385,24 @@ def mc_decode_logits(
     dist: DiagGaussian,
     key: jax.Array,
     n_samples: int,
+    feat_geom=None,
 ) -> jax.Array:
     """(n_samples, B, H, W, C) logits from one feature map + n latent draws.
 
     The feature term is computed once; the per-sample tail is vmapped. This is
     the fused replacement for the reference's ``[model.sample() for _ in
     range(n)]`` loops (punet_trainer.py:16, mean_teacher_trainer.py:74).
+    With ``feat_geom`` (from ``encode(flat_features=True)``) the tail runs on
+    the flat layout and only the 1-channel per-sample logits convert to image.
     """
-    feat_term = model.apply({"params": params}, features, method="decode_feature_term")
     zs = dist.sample_n(key, n_samples)  # (n, B, L)
+    if feat_geom is not None:
+        fc = params["fcomb"]
+        term = fcomb_feature_term_flat(model, fc, features, feat_geom[0])
+        return jax.vmap(
+            lambda z: fcomb_decode_from_term_flat(model, fc, term, feat_geom, z)
+        )(zs)
+    feat_term = model.apply({"params": params}, features, method="decode_feature_term")
 
     def _decode(z):
         return model.apply({"params": params}, feat_term, z, method="decode_from_term")

@@ -49,10 +49,19 @@ class PUNetBackbone(nn.Module):
         )
 
     @nn.compact
-    def __call__(self, x: jax.Array) -> jax.Array:
+    def __call__(self, x: jax.Array, keep_flat: bool = False):
+        """``keep_flat=True`` (flat pipeline only, requires
+        ``num_classes=None``): return ``(flat_features, packed)`` in the
+        decoder's margin-0 flat layout instead of converting to image —
+        the Fcomb tail is 1x1 convs, i.e. layout-agnostic matmuls, so the
+        flat->image boundary can move past it to the 1-channel logits
+        (pda.models.punet.fcomb_decode_flat). Falls back to the image
+        return (keep_flat ignored) when the flat plan is ineligible."""
         plan = self._flat_plan(x)
         if plan is not None:
-            return self._call_flat(x, plan)
+            return self._call_flat(
+                x, plan, keep_flat=keep_flat and self.num_classes is None
+            )
         depth = len(self.num_filters)
         skips = []
         for i, feats in enumerate(self.num_filters):
@@ -77,10 +86,11 @@ class PUNetBackbone(nn.Module):
             )(x)
         return x
 
-    def _call_flat(self, x: jax.Array, plan) -> jax.Array:
+    def _call_flat(self, x: jax.Array, plan, keep_flat: bool = False):
         """The flat activation pipeline: image layout only at the input and
         the returned feature map — every block edge (pool, upsample, skip
-        concat) stays in the margin-0 flat layouts (see flat_ops)."""
+        concat) stays in the margin-0 flat layouts (see flat_ops).
+        With ``keep_flat`` the output stays flat too: ``(flat, packed)``."""
         from . import flat_ops
 
         b, h0, w0, cin = x.shape
@@ -112,6 +122,8 @@ class PUNetBackbone(nn.Module):
             h, w = bh, bw
             ci = self.num_filters[i]
 
+        if keep_flat:
+            return xf, plan["dec_packed"]
         out = (
             flat_ops.from_flat_packed(xf, h, w)
             if plan["dec_packed"]

@@ -55,9 +55,20 @@ N_MC_VAL = 8  # reference: punet_trainer.py:70
 def _punet_loss(model: ProbabilisticUnet, params, x, segm, key, consm=None):
     """-elbo + 1e-5 * l2_reg — the loss every PUNet trainer assembles
     (reference punet_trainer.py:29-34)."""
-    enc = model.apply({"params": params}, x, segm, method="encode")
+    from ..models.punet import fcomb_decode_flat
+
+    enc = model.apply(
+        {"params": params}, x, segm, flat_features=True, method="encode"
+    )
     z_post = enc.posterior.sample(key)
-    recon = model.apply({"params": params}, enc.features, z_post, method="decode")
+    if enc.feat_geom is not None:
+        recon = fcomb_decode_flat(
+            model, params["fcomb"], enc.features, enc.feat_geom, z_post
+        )
+    else:
+        recon = model.apply(
+            {"params": params}, enc.features, z_post, method="decode"
+        )
     nelbo, aux = neg_elbo(
         recon,
         segm,

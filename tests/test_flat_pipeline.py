@@ -159,3 +159,25 @@ class TestFlatModelPath:
             a = flat_o[jax.tree_util.keystr(k)]
             rel = float(jnp.abs(a - r).max() / (jnp.abs(r).max() + 1e-9))
             assert rel < 5e-4, (jax.tree_util.keystr(k), rel)
+
+    def test_mc_pseudo_flat_matches_image(self, monkeypatch):
+        """The teacher MC tail on the flat layout (flat Fcomb decode with
+        block-diagonal packed kernels + 1-channel logits boundary) produces
+        the same pseudo-labels/consensus as the image path."""
+        from pda.train.steps import _mc_pseudo
+
+        x = _img((2, 64, 64, 1))
+        model = self._model()
+        params = model.init(
+            jax.random.PRNGKey(0), x, jnp.zeros_like(x)
+        )["params"]
+        key = jax.random.PRNGKey(7)
+
+        monkeypatch.setenv("PDA_PALLAS_MC", "0")
+        monkeypatch.setenv("PDA_PALLAS_CONV", "0")
+        ref_y, ref_z = _mc_pseudo(model, params, x, key, 4, True)
+        monkeypatch.setenv("PDA_PALLAS_CONV", "1")
+        with pltpu.force_tpu_interpret_mode():
+            out_y, out_z = _mc_pseudo(model, params, x, key, 4, True)
+        np.testing.assert_allclose(out_y, ref_y, rtol=1e-4, atol=1e-5)
+        np.testing.assert_allclose(out_z, ref_z, rtol=1e-4, atol=1e-5)
