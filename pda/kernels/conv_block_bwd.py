@@ -197,7 +197,13 @@ def _kernel(
     else:
         dx_ref[0] = rx.astype(dtype)
 
-    # ---- weight/bias gradient partials over band-owned rows [4, rt+4)
+    # ---- weight/bias gradients over band-owned rows [4, rt+4), ACCUMULATED
+    # in-kernel across the whole (batch, band) grid: the dw/db output blocks
+    # have grid-constant index maps, so they stay resident in VMEM for the
+    # entire kernel and are written back once — no (B, nb, ...) partial
+    # tensors ever stream through HBM (they measured up to 226 MB per dw).
+    first = (pl.program_id(0) == 0) & (n == 0)
+
     def wgrad(h_in, base_i: int, da, base_o: int, dw_ref, db_ref):
         own0 = (MARGIN - base_o) * wp - base_o
         da_own = da[own0 : own0 + rt * wp, :]
@@ -206,11 +212,12 @@ def _kernel(
             [h_in[g0 + dy * wp : g0 + dy * wp + rt * wp + 2, :]
              for dy in range(3)], axis=1)
         for dx in range(3):
-            dw_ref[0, 0, dx] = jax.lax.dot_general(
+            val = jax.lax.dot_general(
                 gin[dx : dx + rt * wp, :], da_own,
                 (((0,), (0,)), ((), ())), preferred_element_type=jnp.float32)
-        db_ref[0, 0] = jnp.sum(
-            da_own.astype(jnp.float32), axis=0, keepdims=True)
+            dw_ref[0, 0, dx] = jnp.where(first, val, dw_ref[0, 0, dx] + val)
+        dbv = jnp.sum(da_own.astype(jnp.float32), axis=0, keepdims=True)
+        db_ref[0, 0] = jnp.where(first, dbv, db_ref[0, 0] + dbv)
 
     wgrad(h2_wgrad, h2_wgrad_base, da3, 0, dw3_ref, db3_ref)
     wgrad(h1_wgrad, h1_wgrad_base, da2, 2, dw2_ref, db2_ref)
@@ -256,27 +263,29 @@ def conv_block_bwd_canvas(
 
     out_shapes = (
         jax.ShapeDtypeStruct((b, nb * rt * wp, cin), dtype),        # dx
-        jax.ShapeDtypeStruct((b, nb, 3, 3 * cin, c), jnp.float32),  # dw1
-        jax.ShapeDtypeStruct((b, nb, 1, c), jnp.float32),           # db1
-        jax.ShapeDtypeStruct((b, nb, 3, 3 * c, c), jnp.float32),    # dw2
-        jax.ShapeDtypeStruct((b, nb, 1, c), jnp.float32),           # db2
-        jax.ShapeDtypeStruct((b, nb, 3, 3 * c, c), jnp.float32),    # dw3
-        jax.ShapeDtypeStruct((b, nb, 1, c), jnp.float32),           # db3
+        jax.ShapeDtypeStruct((1, 1, 3, 3 * cin, c), jnp.float32),  # dw1
+        jax.ShapeDtypeStruct((1, 1, 1, c), jnp.float32),            # db1
+        jax.ShapeDtypeStruct((1, 1, 3, 3 * c, c), jnp.float32),     # dw2
+        jax.ShapeDtypeStruct((1, 1, 1, c), jnp.float32),            # db2
+        jax.ShapeDtypeStruct((1, 1, 3, 3 * c, c), jnp.float32),     # dw3
+        jax.ShapeDtypeStruct((1, 1, 1, c), jnp.float32),            # db3
     )
     out_specs = (
         pl.BlockSpec((1, rt * wp, cin), lambda i, n: (i, n, 0),
                      memory_space=pltpu.VMEM),
-        pl.BlockSpec((1, 1, 3, 3 * cin, c), lambda i, n: (i, n, 0, 0, 0),
+        # dw/db: grid-constant index maps -> in-kernel accumulators that
+        # stay VMEM-resident for the whole grid and write back once
+        pl.BlockSpec((1, 1, 3, 3 * cin, c), lambda i, n: (0, 0, 0, 0, 0),
                      memory_space=pltpu.VMEM),
-        pl.BlockSpec((1, 1, 1, c), lambda i, n: (i, n, 0, 0),
+        pl.BlockSpec((1, 1, 1, c), lambda i, n: (0, 0, 0, 0),
                      memory_space=pltpu.VMEM),
-        pl.BlockSpec((1, 1, 3, 3 * c, c), lambda i, n: (i, n, 0, 0, 0),
+        pl.BlockSpec((1, 1, 3, 3 * c, c), lambda i, n: (0, 0, 0, 0, 0),
                      memory_space=pltpu.VMEM),
-        pl.BlockSpec((1, 1, 1, c), lambda i, n: (i, n, 0, 0),
+        pl.BlockSpec((1, 1, 1, c), lambda i, n: (0, 0, 0, 0),
                      memory_space=pltpu.VMEM),
-        pl.BlockSpec((1, 1, 3, 3 * c, c), lambda i, n: (i, n, 0, 0, 0),
+        pl.BlockSpec((1, 1, 3, 3 * c, c), lambda i, n: (0, 0, 0, 0, 0),
                      memory_space=pltpu.VMEM),
-        pl.BlockSpec((1, 1, 1, c), lambda i, n: (i, n, 0, 0),
+        pl.BlockSpec((1, 1, 1, c), lambda i, n: (0, 0, 0, 0),
                      memory_space=pltpu.VMEM),
     )
 
@@ -360,27 +369,29 @@ def conv_block_bwd_flat(
 
     out_shapes = (
         jax.ShapeDtypeStruct((b, nb * rt * wp, cin), dtype),        # dx flat
-        jax.ShapeDtypeStruct((b, nb, 3, 3 * cin, c), jnp.float32),  # dw1
-        jax.ShapeDtypeStruct((b, nb, 1, c), jnp.float32),           # db1
-        jax.ShapeDtypeStruct((b, nb, 3, 3 * c, c), jnp.float32),    # dw2
-        jax.ShapeDtypeStruct((b, nb, 1, c), jnp.float32),           # db2
-        jax.ShapeDtypeStruct((b, nb, 3, 3 * c, c), jnp.float32),    # dw3
-        jax.ShapeDtypeStruct((b, nb, 1, c), jnp.float32),           # db3
+        jax.ShapeDtypeStruct((1, 1, 3, 3 * cin, c), jnp.float32),  # dw1
+        jax.ShapeDtypeStruct((1, 1, 1, c), jnp.float32),            # db1
+        jax.ShapeDtypeStruct((1, 1, 3, 3 * c, c), jnp.float32),     # dw2
+        jax.ShapeDtypeStruct((1, 1, 1, c), jnp.float32),            # db2
+        jax.ShapeDtypeStruct((1, 1, 3, 3 * c, c), jnp.float32),     # dw3
+        jax.ShapeDtypeStruct((1, 1, 1, c), jnp.float32),            # db3
     )
     out_specs = (
         pl.BlockSpec((1, rt * wp, cin), lambda i, n: (i, n, 0),
                      memory_space=pltpu.VMEM),
-        pl.BlockSpec((1, 1, 3, 3 * cin, c), lambda i, n: (i, n, 0, 0, 0),
+        # dw/db: grid-constant index maps -> in-kernel accumulators that
+        # stay VMEM-resident for the whole grid and write back once
+        pl.BlockSpec((1, 1, 3, 3 * cin, c), lambda i, n: (0, 0, 0, 0, 0),
                      memory_space=pltpu.VMEM),
-        pl.BlockSpec((1, 1, 1, c), lambda i, n: (i, n, 0, 0),
+        pl.BlockSpec((1, 1, 1, c), lambda i, n: (0, 0, 0, 0),
                      memory_space=pltpu.VMEM),
-        pl.BlockSpec((1, 1, 3, 3 * c, c), lambda i, n: (i, n, 0, 0, 0),
+        pl.BlockSpec((1, 1, 3, 3 * c, c), lambda i, n: (0, 0, 0, 0, 0),
                      memory_space=pltpu.VMEM),
-        pl.BlockSpec((1, 1, 1, c), lambda i, n: (i, n, 0, 0),
+        pl.BlockSpec((1, 1, 1, c), lambda i, n: (0, 0, 0, 0),
                      memory_space=pltpu.VMEM),
-        pl.BlockSpec((1, 1, 3, 3 * c, c), lambda i, n: (i, n, 0, 0, 0),
+        pl.BlockSpec((1, 1, 3, 3 * c, c), lambda i, n: (0, 0, 0, 0, 0),
                      memory_space=pltpu.VMEM),
-        pl.BlockSpec((1, 1, 1, c), lambda i, n: (i, n, 0, 0),
+        pl.BlockSpec((1, 1, 1, c), lambda i, n: (0, 0, 0, 0),
                      memory_space=pltpu.VMEM),
     )
 

@@ -177,7 +177,16 @@ def _kernel(
         r_dx = stencil(da1, wd1c_ref, wd1m_ref, l_dx, 0, 0)
         dx_ref[0] = r_dx[wpp - 3 : wpp - 3 + rt * wpp, :].astype(dtype)
 
-    # ---- packed weight/bias gradient partials over owned rows [4, rt+4)
+    # ---- packed weight/bias gradients over owned rows [4, rt+4),
+    # ACCUMULATED in-kernel across the whole (batch, band) grid: the dw/db
+    # output blocks have grid-constant index maps, so they stay VMEM-resident
+    # for the entire kernel and write back once — no (B, nb, ...) partial
+    # tensors ever stream through HBM (up to 226 MB per dw at dec-U3).
+    first = (pl.program_id(0) == 0) & (n == 0)
+
+    def acc(ref, idx, val):
+        ref[idx] = jnp.where(first, val, ref[idx] + val)
+
     def wgrad(h_in, base_i: int, da, base_o: int, dw_ref, db_ref):
         own0 = (MARGIN - base_o) * wpp - base_o
         da_own = da[own0 : own0 + rt * wpp, :]
@@ -199,20 +208,19 @@ def _kernel(
                     preferred_element_type=jnp.float32,
                 )
                 for dy in range(3):
-                    dw_ref[0, 0, dy * 3 + s_idx] = m[
-                        dy * lanes : (dy + 1) * lanes, :
-                    ]
+                    acc(dw_ref, (0, 0, dy * 3 + s_idx),
+                        m[dy * lanes : (dy + 1) * lanes, :])
         else:
             for dy in range(3):
                 for s_idx, s_off in enumerate((-1, 0, 1)):
                     start = (MARGIN + dy - 1 - base_i) * wpp - base_i + s_off
-                    dw_ref[0, 0, dy * 3 + s_idx] = jax.lax.dot_general(
+                    acc(dw_ref, (0, 0, dy * 3 + s_idx), jax.lax.dot_general(
                         h_in[start : start + rt * wpp, :], da_own,
                         (((0,), (0,)), ((), ())),
                         preferred_element_type=jnp.float32,
-                    )
-        db_ref[0, 0] = jnp.sum(
-            da_own.astype(jnp.float32), axis=0, keepdims=True)
+                    ))
+        acc(db_ref, (0, 0),
+            jnp.sum(da_own.astype(jnp.float32), axis=0, keepdims=True))
 
     wgrad(h2_wg, h2_base, da3, 0, dw3_ref, db3_ref)
     wgrad(h1_wg, h1_base, da2, 1, dw2_ref, db2_ref)
@@ -269,17 +277,19 @@ def conv_block_packed_bwd_canvas(
     hup, hcore, hdown = flat_views(rt, wpp, 2 * c, nb)
 
     def dw_specs(ci):
+        # grid-constant index maps: in-kernel accumulators, written back once
         return (
-            pl.BlockSpec((1, 1, 9, 2 * ci, 2 * c), lambda i, n: (i, n, 0, 0, 0),
+            pl.BlockSpec((1, 1, 9, 2 * ci, 2 * c),
+                         lambda i, n: (0, 0, 0, 0, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, 1, 1, 2 * c), lambda i, n: (i, n, 0, 0),
+            pl.BlockSpec((1, 1, 1, 2 * c), lambda i, n: (0, 0, 0, 0),
                          memory_space=pltpu.VMEM),
         )
 
     def dw_shapes(ci):
         return (
-            jax.ShapeDtypeStruct((b, nb, 9, 2 * ci, 2 * c), jnp.float32),
-            jax.ShapeDtypeStruct((b, nb, 1, 2 * c), jnp.float32),
+            jax.ShapeDtypeStruct((1, 1, 9, 2 * ci, 2 * c), jnp.float32),
+            jax.ShapeDtypeStruct((1, 1, 1, 2 * c), jnp.float32),
         )
 
     out_shapes = (
@@ -371,17 +381,19 @@ def conv_block_packed_bwd_flat(
     hup, hcore, hdown = flat_views(rt, wpp, 2 * c, nb)
 
     def dw_specs(ci):
+        # grid-constant index maps: in-kernel accumulators, written back once
         return (
-            pl.BlockSpec((1, 1, 9, 2 * ci, 2 * c), lambda i, n: (i, n, 0, 0, 0),
+            pl.BlockSpec((1, 1, 9, 2 * ci, 2 * c),
+                         lambda i, n: (0, 0, 0, 0, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, 1, 1, 2 * c), lambda i, n: (i, n, 0, 0),
+            pl.BlockSpec((1, 1, 1, 2 * c), lambda i, n: (0, 0, 0, 0),
                          memory_space=pltpu.VMEM),
         )
 
     def dw_shapes(ci):
         return (
-            jax.ShapeDtypeStruct((b, nb, 9, 2 * ci, 2 * c), jnp.float32),
-            jax.ShapeDtypeStruct((b, nb, 1, 2 * c), jnp.float32),
+            jax.ShapeDtypeStruct((1, 1, 9, 2 * ci, 2 * c), jnp.float32),
+            jax.ShapeDtypeStruct((1, 1, 1, 2 * c), jnp.float32),
         )
 
     in_specs = [xup, xcore, xdown, hup, hcore, hdown,  # x; g (2C lane spec)
