@@ -80,7 +80,13 @@ def main():
                   flush=True)
 
     best = max(r[2] for r in rows)
-    print(f"\nbest host throughput: {best:.1f} patches/s")
+    import os
+    cores = len(os.sched_getaffinity(0))
+    print(f"\nbest host throughput: {best:.1f} patches/s on {cores} core(s)")
+    if cores == 1:
+        print("NOTE: single-core host — the loader samples inline (worker "
+              "pools can only add overhead here); per-core rate is the "
+              "number that scales on real multi-core v5e hosts.")
     if args.step_rate:
         need1 = args.batch * args.step_rate
         print(f"needed for 1 chip:  {need1:8.1f} patches/s  (margin {best/need1:5.1f}x)")

@@ -9,7 +9,8 @@
 // Replaces the role of the reference's torch/numpy per-sample transforms
 // (torch_em transform.raw, SURVEY.md section 2.9) on the host side.
 //
-// Build: g++ -O3 -march=native -shared -fPIC pda_native.cpp -o libpda_native.so
+// Build: g++ -O3 -march=native -ffast-math -shared -fPIC pda_native.cpp -o libpda_native.so
+// (-ffast-math enables libmvec-vectorized logf/sincosf in the noise path)
 
 #include <cmath>
 #include <cstdint>
@@ -32,23 +33,44 @@ static inline double uniform01(uint64_t &state) {
   return (splitmix64(state) >> 11) * (1.0 / 9007199254740992.0);
 }
 
+// pure (counter-based) variant: independent per index, so bulk-generation
+// loops have no serial state dependence and vectorize
+static inline uint64_t splitmix64_at(uint64_t x) {
+  uint64_t z = x + 0x9E3779B97F4A7C15ULL;
+  z = (z ^ (z >> 30)) * 0xBF58476D1CE4E5B9ULL;
+  z = (z ^ (z >> 27)) * 0x94D049BB133111EBULL;
+  return z ^ (z >> 31);
+}
+
 // ---------------------------------------------------------------------------
 // standardize: x = (x - mean) / (std + eps), in place
 // ---------------------------------------------------------------------------
 
 void pda_standardize(float *data, int64_t n, float eps) {
-  double sum = 0.0;
-  for (int64_t i = 0; i < n; ++i) sum += data[i];
-  const double mean = sum / (double)n;
-  double var = 0.0;
-  for (int64_t i = 0; i < n; ++i) {
+  // 8 partial accumulators: breaks the serial FP dependence so the
+  // reductions vectorize (a single double acc ran at ~190 MB/s)
+  double s[8] = {0, 0, 0, 0, 0, 0, 0, 0};
+  int64_t i = 0;
+  for (; i + 8 <= n; i += 8)
+    for (int k = 0; k < 8; ++k) s[k] += data[i + k];
+  for (; i < n; ++i) s[0] += data[i];
+  const double mean =
+      (s[0] + s[1] + s[2] + s[3] + s[4] + s[5] + s[6] + s[7]) / (double)n;
+  double v[8] = {0, 0, 0, 0, 0, 0, 0, 0};
+  for (i = 0; i + 8 <= n; i += 8)
+    for (int k = 0; k < 8; ++k) {
+      const double d = data[i + k] - mean;
+      v[k] += d * d;
+    }
+  for (; i < n; ++i) {
     const double d = data[i] - mean;
-    var += d * d;
+    v[0] += d * d;
   }
-  const double std = std::sqrt(var / (double)n);
-  const float inv = 1.0f / (float)(std + eps);
+  const double var =
+      (v[0] + v[1] + v[2] + v[3] + v[4] + v[5] + v[6] + v[7]) / (double)n;
+  const float inv = 1.0f / (float)(std::sqrt(var) + eps);
   const float m = (float)mean;
-  for (int64_t i = 0; i < n; ++i) data[i] = (data[i] - m) * inv;
+  for (i = 0; i < n; ++i) data[i] = (data[i] - m) * inv;
 }
 
 // ---------------------------------------------------------------------------
@@ -69,23 +91,50 @@ void pda_crop(const float *src, int64_t H, int64_t W, int64_t y0, int64_t x0,
 
 static void blur_axis(const float *src, float *dst, int64_t h, int64_t w,
                       const float *k, int radius, int axis) {
-  for (int64_t y = 0; y < h; ++y) {
-    for (int64_t x = 0; x < w; ++x) {
-      double acc = 0.0;
+  // Separable pass restructured for SIMD: per output row, accumulate
+  // kv * shifted-row (contiguous SAXPY-style loops, float accumulation in
+  // dst) instead of a per-pixel tap loop with boundary branches.
+  if (axis == 0) {
+    for (int64_t y = 0; y < h; ++y) {
+      float *out = dst + y * w;
+      for (int64_t x = 0; x < w; ++x) out[x] = 0.0f;
       for (int t = -radius; t <= radius; ++t) {
-        int64_t yy = y, xx = x;
-        if (axis == 0) {
-          yy = y + t;
-          if (yy < 0) yy = -yy;                 // reflect101
-          if (yy >= h) yy = 2 * h - 2 - yy;
-        } else {
-          xx = x + t;
-          if (xx < 0) xx = -xx;
-          if (xx >= w) xx = 2 * w - 2 - xx;
-        }
-        acc += (double)k[t + radius] * src[yy * w + xx];
+        int64_t yy = y + t;
+        if (yy < 0) yy = -yy;  // reflect101
+        if (yy >= h) yy = 2 * h - 2 - yy;
+        const float kv = k[t + radius];
+        const float *row = src + yy * w;
+        for (int64_t x = 0; x < w; ++x) out[x] += kv * row[x];
       }
-      dst[y * w + x] = (float)acc;
+    }
+    return;
+  }
+  const int64_t lo = radius < w ? radius : w;
+  const int64_t hi = w - radius > lo ? w - radius : lo;
+  for (int64_t y = 0; y < h; ++y) {
+    const float *row = src + y * w;
+    float *out = dst + y * w;
+    // interior: branch-free shifted adds
+    for (int64_t x = lo; x < hi; ++x) out[x] = 0.0f;
+    for (int t = -radius; t <= radius; ++t) {
+      const float kv = k[t + radius];
+      const float *shifted = row + t;
+      for (int64_t x = lo; x < hi; ++x) out[x] += kv * shifted[x];
+    }
+    // edges: reflected taps
+    for (int64_t x = 0; x < w; ++x) {
+      if (x == lo && hi > lo) {
+        x = hi - 1;
+        continue;
+      }
+      float acc = 0.0f;
+      for (int t = -radius; t <= radius; ++t) {
+        int64_t xx = x + t;
+        if (xx < 0) xx = -xx;
+        if (xx >= w) xx = 2 * w - 2 - xx;
+        acc += k[t + radius] * row[xx];
+      }
+      out[x] = acc;
     }
   }
 }
@@ -117,15 +166,38 @@ void pda_gaussian_blur(const float *src, float *dst, int64_t h, int64_t w,
 
 void pda_add_gaussian_noise(float *data, int64_t n, float std_, uint64_t seed,
                             int clip) {
-  uint64_t st = seed ? seed : 1;
-  for (int64_t i = 0; i < n; i += 2) {
-    double u1 = uniform01(st);
-    double u2 = uniform01(st);
-    if (u1 < 1e-300) u1 = 1e-300;
-    const double r = std::sqrt(-2.0 * std::log(u1)) * (double)std_;
-    const double a = 6.283185307179586 * u2;
-    data[i] += (float)(r * std::cos(a));
-    if (i + 1 < n) data[i + 1] += (float)(r * std::sin(a));
+  // Box-Muller restructured for SIMD: counter-based uniforms (no serial RNG
+  // state) into chunk buffers, then a transform loop whose logf/sqrtf/
+  // sincosf vectorize through libmvec (-ffast-math build). The old
+  // state-threaded scalar loop ran at ~11.8 ms per 512^2 draw; this is ~20x.
+  const uint64_t base = (seed ? seed : 1) * 0x9E3779B97F4A7C15ULL;
+  enum { CH = 1024 };  // pairs per chunk
+  float u1[CH], u2[CH], rr[CH];
+  for (int64_t off = 0; off < n; off += 2 * CH) {
+    const int64_t rem = (n - off + 1) / 2;
+    const int64_t pairs = rem < CH ? rem : CH;
+    const uint64_t p0 = base + (uint64_t)(off / 2);
+    for (int64_t j = 0; j < pairs; ++j) {
+      const uint64_t z = splitmix64_at(p0 + (uint64_t)j);
+      // two 24-bit uniforms per draw; u1 in (0, 1] (never 0 for the log)
+      u1[j] = (float)((z >> 40) + 1) * (1.0f / 16777216.0f);
+      u2[j] = (float)(z & 0xFFFFFFULL) * (1.0f / 16777216.0f);
+    }
+    float cc[CH], ss[CH];
+    for (int64_t j = 0; j < pairs; ++j)
+      rr[j] = std::sqrt(-2.0f * std::log(u1[j])) * std_;
+    for (int64_t j = 0; j < pairs; ++j)
+      cc[j] = rr[j] * std::cos(6.2831853071795864f * u2[j]);
+    for (int64_t j = 0; j < pairs; ++j)
+      ss[j] = rr[j] * std::sin(6.2831853071795864f * u2[j]);
+    float *d = data + off;
+    const int64_t full = (off + 2 * pairs <= n) ? pairs : pairs - 1;
+    for (int64_t j = 0; j < full; ++j) {
+      d[2 * j] += cc[j];
+      d[2 * j + 1] += ss[j];
+    }
+    if (full != pairs)  // odd tail element
+      d[2 * full] += cc[full];
   }
   if (clip) {
     for (int64_t i = 0; i < n; ++i) {

@@ -32,7 +32,8 @@ _f32p = np.ctypeslib.ndpointer(dtype=np.float32, flags="C_CONTIGUOUS")
 def _build() -> bool:
     if not os.path.exists(_SRC):
         return False
-    cmd = ["g++", "-O3", "-march=native", "-shared", "-fPIC", _SRC, "-o", _SO]
+    cmd = ["g++", "-O3", "-march=native", "-ffast-math", "-shared",
+           "-fPIC", _SRC, "-o", _SO]
     try:
         subprocess.run(cmd, check=True, capture_output=True)
         return True
@@ -89,9 +90,17 @@ def available() -> bool:
     return _load() is not None
 
 
+def _owned_f32(x: np.ndarray) -> np.ndarray:
+    """Contiguous f32 copy that NEVER aliases the caller's memory — the C
+    kernels mutate in place, and a full-width crop is a contiguous VIEW of
+    the source image (mutating it would corrupt the cached dataset array)."""
+    xc = np.ascontiguousarray(x, dtype=np.float32)
+    return xc.copy() if xc is x else xc
+
+
 def standardize(x: np.ndarray, eps: float = 1e-7) -> np.ndarray:
     lib = _load()
-    x = np.ascontiguousarray(x, dtype=np.float32)
+    x = _owned_f32(x)
     lib.pda_standardize(x.reshape(-1), x.size, eps)
     return x
 
@@ -117,14 +126,14 @@ def add_gaussian_noise(
     x: np.ndarray, std: float, seed: int, clip: bool = False
 ) -> np.ndarray:
     lib = _load()
-    x = np.ascontiguousarray(x, dtype=np.float32)
+    x = _owned_f32(x)
     lib.pda_add_gaussian_noise(x.reshape(-1), x.size, std, seed, int(clip))
     return x
 
 
 def random_contrast(x: np.ndarray, alpha: float) -> np.ndarray:
     lib = _load()
-    x = np.ascontiguousarray(x, dtype=np.float32)
+    x = _owned_f32(x)
     lib.pda_random_contrast(x.reshape(-1), x.size, alpha)
     return x
 
@@ -139,7 +148,7 @@ def weak_augment(
 ) -> np.ndarray:
     """Fused standardize + p-gated blur + p-gated noise (one GIL-free call)."""
     lib = _load()
-    x = np.ascontiguousarray(x, dtype=np.float32)
+    x = _owned_f32(x)
     h, w = x.shape[:2]
     scratch = np.empty(2 * h * w, dtype=np.float32)
     lib.pda_weak_augment(

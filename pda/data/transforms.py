@@ -39,7 +39,20 @@ def standardize(
     eps: float = EPS,
 ) -> np.ndarray:
     """(x - mean) / (std + eps) — torch_em ``standardize`` /
-    reference ``my_standardize_torch`` (prob_utils/my_utils/util.py:9-14)."""
+    reference ``my_standardize_torch`` (prob_utils/my_utils/util.py:9-14).
+
+    Default-stats calls take the native C path when available (~2x the numpy
+    chain on the 512^2 loader hot path); PDA_NATIVE_AUGS=0 forces numpy."""
+    if mean is None and std is None:
+        import os
+
+        from . import native
+
+        if (
+            os.environ.get("PDA_NATIVE_AUGS", "1") != "0"
+            and native.available()
+        ):
+            return native.standardize(x, eps)
     x = np.asarray(x, dtype=np.float32)
     mean = x.mean() if mean is None else mean
     x = x - mean

@@ -113,3 +113,27 @@ class TestElasticWarpNative:
         for a, b in zip(o1, o2):
             np.testing.assert_array_equal(a, b)
         assert set(np.unique(o1[1])) <= {0.0, 1.0}  # labels stay binary
+
+
+def test_mutating_kernels_never_alias_input():
+    """A full-width crop is a contiguous VIEW of the source image; the
+    in-place C kernels must operate on an owned copy, never the view
+    (regression: standardize/weak_augment corrupted cached source arrays
+    when the patch width equaled the image width)."""
+    from pda.data import native
+
+    if not native.available():
+        import pytest
+
+        pytest.skip("native lib unavailable")
+    import numpy as np
+
+    src = np.random.default_rng(0).normal(size=(64, 32)).astype(np.float32)
+    view = src[10:42, :]  # full-width crop: contiguous view
+    assert view.base is src
+    before = src.copy()
+    native.standardize(view)
+    native.weak_augment(view, p=1.0, seed=3)
+    native.add_gaussian_noise(view, 0.1, 5)
+    native.random_contrast(view, 1.3)
+    np.testing.assert_array_equal(src, before)
