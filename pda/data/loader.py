@@ -271,25 +271,37 @@ class Loader:
                 ]
             return [pool.submit(self._fetch, epoch, i) for i in rows]
 
-        while next_b < n_batches and len(pending) < depth:
-            pending.append(submit_batch(next_b))
-            next_b += 1
-        while pending:
-            futures = pending.pop(0)
-            samples = []
-            for f in futures:
-                r = f.result()
-                if mode == "process":
-                    slot, layout = r
-                    samples.append(self._read_slot(layout))
-                    free_slots.append(slot)
-                else:
-                    samples.append(r)
-            if next_b < n_batches:
+        try:
+            while next_b < n_batches and len(pending) < depth:
                 pending.append(submit_batch(next_b))
                 next_b += 1
-            if samples:
-                yield self._stack(samples)
+            while pending:
+                futures = pending.pop(0)
+                samples = []
+                for f in futures:
+                    r = f.result()
+                    if mode == "process":
+                        slot, layout = r
+                        samples.append(self._read_slot(layout))
+                        free_slots.append(slot)
+                    else:
+                        samples.append(r)
+                if next_b < n_batches:
+                    pending.append(submit_batch(next_b))
+                    next_b += 1
+                if samples:
+                    yield self._stack(samples)
+        finally:
+            # The training engine abandons epochs mid-iteration (iteration
+            # budgets). Drain in-flight tasks so no worker is still writing
+            # into a shm slot the NEXT __iter__ would hand out again.
+            for futures in pending:
+                for f in futures:
+                    if not f.cancel():
+                        try:
+                            f.result()
+                        except Exception:
+                            pass
 
 
 def get_data_loader(dataset, batch_size: int, **kwargs) -> Loader:
