@@ -24,7 +24,8 @@ sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 
 def main():
-    out = sys.argv[1] if len(sys.argv) > 1 else "/tmp/pda_profile"
+    args = [a for a in sys.argv[1:] if not a.startswith("--")]
+    out = args[0] if args else "/tmp/pda_profile"
     import bench
 
     model, tx, state, step = bench.build()

@@ -105,6 +105,7 @@ class Loader:
         self._shm = None
         self._slot_nbytes = 0
         self._n_slots = 0
+        self._fallback_pool = None  # pool pending its smoke fetch
 
     # ------------------------------------------------------------------ pool
 
@@ -127,6 +128,11 @@ class Loader:
                 self._pool = ("process", self._make_shm_pool())
                 return self._pool
             except Exception:
+                if self._fallback_pool is not None:  # smoke fetch failed
+                    self._fallback_pool.shutdown(
+                        wait=False, cancel_futures=True
+                    )
+                    self._fallback_pool = None
                 if self._shm is not None:
                     try:
                         self._shm.close()
@@ -159,10 +165,13 @@ class Loader:
             initializer=_worker_init,
             initargs=(self.dataset, self._shm.name),
         )
-        # smoke one fetch to surface pickling/fork failures eagerly
+        # smoke one fetch to surface pickling/fork failures eagerly; keep a
+        # handle so _get_pool can shut the pool down if the smoke fails
+        self._fallback_pool = pool
         pool.submit(
             _worker_fetch_shm, self.seed, 0, 0, 0, self._slot_nbytes
         ).result()
+        self._fallback_pool = None
         return pool
 
     def _read_slot(self, layout) -> tuple:
@@ -271,14 +280,15 @@ class Loader:
                 ]
             return [pool.submit(self._fetch, epoch, i) for i in rows]
 
+        current = None
         try:
             while next_b < n_batches and len(pending) < depth:
                 pending.append(submit_batch(next_b))
                 next_b += 1
             while pending:
-                futures = pending.pop(0)
+                current = pending.pop(0)
                 samples = []
-                for f in futures:
+                for f in current:
                     r = f.result()
                     if mode == "process":
                         slot, layout = r
@@ -286,6 +296,7 @@ class Loader:
                         free_slots.append(slot)
                     else:
                         samples.append(r)
+                current = None
                 if next_b < n_batches:
                     pending.append(submit_batch(next_b))
                     next_b += 1
@@ -293,9 +304,10 @@ class Loader:
                     yield self._stack(samples)
         finally:
             # The training engine abandons epochs mid-iteration (iteration
-            # budgets). Drain in-flight tasks so no worker is still writing
-            # into a shm slot the NEXT __iter__ would hand out again.
-            for futures in pending:
+            # budgets), and a worker exception mid-batch leaves that batch's
+            # sibling futures in flight. Drain everything so no worker is
+            # still writing into a shm slot the NEXT __iter__ hands out.
+            for futures in ([current] if current else []) + pending:
                 for f in futures:
                     if not f.cancel():
                         try:

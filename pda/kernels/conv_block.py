@@ -45,14 +45,20 @@ from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
 
-def _compiler_params(vmem_mb: int = 120):
-    """Shared CompilerParams: VMEM budget + optional grid dimension
-    semantics (PDA_PALLAS_DIMSEM=1 marks (batch, band) as (parallel,
-    arbitrary), letting Mosaic double-buffer across bands)."""
+def _compiler_params(vmem_mb: int = 120, allow_dimsem: bool = True):
+    """Shared CompilerParams for every fused conv-block kernel: VMEM budget
+    + optional grid dimension semantics (PDA_PALLAS_DIMSEM=1 marks
+    (batch, band) as (parallel, arbitrary), letting Mosaic double-buffer
+    across bands; measured a step-level wash, kept opt-in).
+
+    ``allow_dimsem=False`` is REQUIRED for the backward kernels: their dw/db
+    outputs are grid-constant accumulators that assume strictly sequential
+    grid iteration — declaring the batch dimension 'parallel' would let a
+    multi-core Mosaic split it and corrupt the accumulation."""
     import os
 
     kw = dict(vmem_limit_bytes=vmem_mb * 1024 * 1024)
-    if os.environ.get("PDA_PALLAS_DIMSEM", "0") == "1":
+    if allow_dimsem and os.environ.get("PDA_PALLAS_DIMSEM", "0") == "1":
         kw["dimension_semantics"] = ("parallel", "arbitrary")
     return pltpu.CompilerParams(**kw)
 

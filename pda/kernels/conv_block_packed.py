@@ -54,16 +54,7 @@ from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
 
-def _compiler_params(vmem_mb: int = 120):
-    """Shared CompilerParams: VMEM budget + optional grid dimension
-    semantics (PDA_PALLAS_DIMSEM=1 marks (batch, band) as (parallel,
-    arbitrary), letting Mosaic double-buffer across bands)."""
-    import os
-
-    kw = dict(vmem_limit_bytes=vmem_mb * 1024 * 1024)
-    if os.environ.get("PDA_PALLAS_DIMSEM", "0") == "1":
-        kw["dimension_semantics"] = ("parallel", "arbitrary")
-    return pltpu.CompilerParams(**kw)
+from .conv_block import _compiler_params
 
 MARGIN = 4          # zero-ring width in flat positions (even, >= 3-conv halo)
 HALO_IMG_ROWS = 8   # halo band height in image rows

@@ -63,16 +63,14 @@ from .conv_block_packed import (
 )
 
 
-def _compiler_params(vmem_mb: int = 120):
-    """Shared CompilerParams: VMEM budget + optional grid dimension
-    semantics (PDA_PALLAS_DIMSEM=1 marks (batch, band) as (parallel,
-    arbitrary), letting Mosaic double-buffer across bands)."""
-    import os
+from .conv_block import _compiler_params as _cp_base
 
-    kw = dict(vmem_limit_bytes=vmem_mb * 1024 * 1024)
-    if os.environ.get("PDA_PALLAS_DIMSEM", "0") == "1":
-        kw["dimension_semantics"] = ("parallel", "arbitrary")
-    return pltpu.CompilerParams(**kw)
+
+def _compiler_params(vmem_mb: int = 120):
+    # backward kernels accumulate dw/db in grid-constant output
+    # blocks -> sequential grid iteration is load-bearing; never
+    # emit 'parallel' dimension semantics here
+    return _cp_base(vmem_mb, allow_dimsem=False)
 
 
 

@@ -118,19 +118,14 @@ def _kernel(feat_ref, z_ref, mids_ref, mid_b_ref, wl_ref, bl_ref,
 
 
 def _block_diag2(w: jax.Array) -> jax.Array:
-    """(Ci, Co) -> (2Ci, 2Co) block-diagonal [[W, 0], [0, W]].
-
-    Lane-packing for the 1x1 tail convs: two spatial positions share a
+    """Lane-packing for the 1x1 tail convs: two spatial positions share a
     128-lane row; the block-diagonal keeps them independent under one MXU
     contraction. The off-diagonal zeros occupy MAC slots the 64-wide matmul
     would have wasted on lane padding anyway, so rows halve at no MAC cost.
-    """
-    ci, co = w.shape
-    z = jnp.zeros_like(w)
-    return jnp.concatenate(
-        [jnp.concatenate([w, z], axis=1), jnp.concatenate([z, w], axis=1)],
-        axis=0,
-    )
+    (Canonical construction: pda.models.flat_ops.block_diag2.)"""
+    from ..models.flat_ops import block_diag2
+
+    return block_diag2(w)
 
 
 @functools.partial(

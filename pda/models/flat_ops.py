@@ -58,6 +58,17 @@ def to_flat_packed(x: jax.Array) -> jax.Array:
     return flat_m0_packed(x, packed_wpp(x.shape[2]))
 
 
+def block_diag2(w: jax.Array) -> jax.Array:
+    """(Ci, Co) -> (2Ci, 2Co) block-diagonal [[W, 0], [0, W]]: applies a 1x1
+    conv independently to the two positions of a lane-packed row (shared by
+    the flat Fcomb decode and the fused MC-consensus kernel)."""
+    z = jnp.zeros_like(w)
+    return jnp.concatenate(
+        [jnp.concatenate([w, z], axis=1), jnp.concatenate([z, w], axis=1)],
+        axis=0,
+    )
+
+
 def from_flat(xf: jax.Array, h: int, w: int) -> jax.Array:
     return uncanvas(xf, h, w)
 

@@ -305,13 +305,9 @@ def decode(model: ProbabilisticUnet, params, features, z) -> jax.Array:
 
 
 def _bd2(w: jax.Array) -> jax.Array:
-    """(Ci, Co) -> (2Ci, 2Co) block-diagonal [[W, 0], [0, W]] — applies a 1x1
-    conv independently to the two positions of a lane-packed row."""
-    z = jnp.zeros_like(w)
-    return jnp.concatenate(
-        [jnp.concatenate([w, z], axis=1), jnp.concatenate([z, w], axis=1)],
-        axis=0,
-    )
+    from .flat_ops import block_diag2
+
+    return block_diag2(w)
 
 
 def fcomb_feature_term_flat(
@@ -340,9 +336,6 @@ def fcomb_decode_from_term_flat(
     chain, f32 cast after the last layer); the flat->image boundary is a
     reshape + ring-column slice of the 1-channel logits instead of the
     64-channel feature map."""
-    from ..kernels.conv_block import MARGIN, canvas_wp
-    from ..kernels.conv_block_packed import packed_wpp
-
     packed, h, w = geom
     dt = model.dtype
     zp = fcomb_params["z_proj"]
@@ -361,13 +354,11 @@ def fcomb_decode_from_term_flat(
     if packed:
         wl, bl = _bd2(wl), jnp.concatenate([bl, bl])
     logits = (hid @ wl + bl).astype(jnp.float32)
-    nc = model.num_classes
-    b = logits.shape[0]
+    from . import flat_ops
+
     if packed:
-        img = logits.reshape(b, h, 2 * packed_wpp(w), nc)
-    else:
-        img = logits.reshape(b, h, canvas_wp(w), nc)
-    return img[:, :, MARGIN : MARGIN + w, :]
+        return flat_ops.from_flat_packed(logits, h, w)
+    return flat_ops.from_flat(logits, h, w)
 
 
 def fcomb_decode_flat(

@@ -161,9 +161,10 @@ class TestFlatModelPath:
             assert rel < 5e-4, (jax.tree_util.keystr(k), rel)
 
     def test_mc_pseudo_flat_matches_image(self, monkeypatch):
-        """The teacher MC tail on the flat layout (flat Fcomb decode with
-        block-diagonal packed kernels + 1-channel logits boundary) produces
-        the same pseudo-labels/consensus as the image path."""
+        """Teacher MC pseudo-labels through the flat BACKBONE (the tail runs
+        the image-layout decode — the production default; see
+        IMPLEMENTATION_STATUS "measured dead ends") match the pure image
+        path."""
         from pda.train.steps import _mc_pseudo
 
         x = _img((2, 64, 64, 1))
@@ -181,3 +182,52 @@ class TestFlatModelPath:
             out_y, out_z = _mc_pseudo(model, params, x, key, 4, True)
         np.testing.assert_allclose(out_y, ref_y, rtol=1e-4, atol=1e-5)
         np.testing.assert_allclose(out_z, ref_z, rtol=1e-4, atol=1e-5)
+
+
+    def test_mc_decode_logits_flat_tail_matches_image(self, monkeypatch):
+        """The flat Fcomb MC tail (mc_decode_logits feat_geom branch:
+        block-diagonal packed kernels, 1-channel logits boundary) is
+        numerically identical to the image tail. Opt-in path (measured
+        slower at the hot geometry) but part of the public decode API."""
+        from pda.models.punet import mc_decode_logits
+
+        x = _img((2, 64, 64, 1))
+        model = self._model()
+        params = model.init(
+            jax.random.PRNGKey(0), x, jnp.zeros_like(x)
+        )["params"]
+        key = jax.random.PRNGKey(5)
+
+        monkeypatch.setenv("PDA_PALLAS_CONV", "0")
+        enc = model.apply({"params": params}, x, method="encode")
+        ref = mc_decode_logits(model, params, enc.features, enc.prior, key, 4)
+        monkeypatch.setenv("PDA_PALLAS_CONV", "1")
+        with pltpu.force_tpu_interpret_mode():
+            encf = model.apply(
+                {"params": params}, x, flat_features=True, method="encode"
+            )
+            assert encf.feat_geom is not None
+            out = mc_decode_logits(
+                model, params, encf.features, encf.prior, key, 4,
+                feat_geom=encf.feat_geom,
+            )
+        np.testing.assert_allclose(out, ref, rtol=1e-4, atol=1e-4)
+
+    def test_mc_decode_logits_paired_matches_default(self, monkeypatch):
+        """PDA_MC_PAIR=1 (sample pairs lane-packed with block-diagonal mids)
+        must reproduce the default per-sample tail exactly."""
+        from pda.models.punet import mc_decode_logits
+
+        x = _img((2, 32, 32, 1))
+        model = self._model()
+        params = model.init(
+            jax.random.PRNGKey(0), x, jnp.zeros_like(x)
+        )["params"]
+        key = jax.random.PRNGKey(9)
+        monkeypatch.setenv("PDA_PALLAS_CONV", "0")
+        enc = model.apply({"params": params}, x, method="encode")
+        monkeypatch.setenv("PDA_MC_PAIR", "0")
+        ref = mc_decode_logits(model, params, enc.features, enc.prior, key, 4)
+        monkeypatch.setenv("PDA_MC_PAIR", "1")
+        out = mc_decode_logits(model, params, enc.features, enc.prior, key, 4)
+        np.testing.assert_allclose(out, ref, rtol=1e-5, atol=1e-6)
