@@ -211,13 +211,16 @@ def _fwd_row_tile(h: int, cin: int, c: int) -> int:
 def _bwd_row_tile(h: int, cin: int, c: int) -> int:
     """Backward kernel bands carry 3 input streams + wider f32 accumulators
     (3*max(cin,c) lanes), so tiles shrink faster with width/channels."""
+    import os
+
     m = max(cin, c)
     if h >= 512:
         rt = 16 if m <= 64 else 8
     elif h == 256:
         rt = 32 if m <= 128 else 16
     elif h == 128:
-        rt = 32 if m <= 256 else 8
+        rt = (int(os.environ.get("PDA_RT_BWD128", "0"))
+              or (32 if m <= 256 else 8))
     else:
         rt = min(16 if m > 256 else 32, h)
     return _fit_tile(h, rt)
@@ -302,8 +305,11 @@ conv3_relu_pallas.defvjp(_conv3p_fwd, _conv3p_bwd)
 
 
 def _packed_fwd_row_tile(h: int, cin: int, c: int) -> int:
+    import os
+
     if h >= 512:
-        return _fit_tile(h, 16 if cin > 64 else 32)
+        rt = int(os.environ.get("PDA_RT_PFWD", "0")) or (16 if cin > 64 else 32)
+        return _fit_tile(h, rt)
     return _fit_tile(h, min(32, h))
 
 
