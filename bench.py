@@ -139,14 +139,23 @@ def build_naive(model, tx):
     return naive_step
 
 
+def fence(state):
+    """True device fence. The axon TPU platform's ``block_until_ready`` can
+    acknowledge before execution completes (measured: impossible >1 PFLOP/s
+    "throughputs"); a one-element host transfer that data-depends on the
+    final state cannot return early."""
+    leaf = jax.tree_util.tree_leaves(state.params)[0]
+    float(np.asarray(leaf.ravel()[0]))
+
+
 def timed(run, state, batch, iters):
     for _ in range(WARMUP):
         state = run(state, batch)
-    jax.block_until_ready(jax.tree_util.tree_leaves(state.params)[0])
+    fence(state)
     t0 = time.perf_counter()
     for _ in range(iters):
         state = run(state, batch)
-    jax.block_until_ready(jax.tree_util.tree_leaves(state.params)[0])
+    fence(state)
     return (time.perf_counter() - t0) / iters, state
 
 

@@ -56,11 +56,16 @@ def time_chain(body, x0, iters=ITERS):
 
         return lax.scan(f, x, None, length=iters)[0]
 
+    def fence(o):
+        # axon's block_until_ready can ack early; a dependent one-element
+        # host transfer is a true fence
+        float(jnp.asarray(o.ravel()[0]))
+
     out = run(x0)
-    jax.block_until_ready(out)
+    fence(out)
     t0 = time.perf_counter()
     out = run(x0)
-    jax.block_until_ready(out)
+    fence(out)
     return (time.perf_counter() - t0) / iters * 1e3
 
 
