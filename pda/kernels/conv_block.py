@@ -164,10 +164,11 @@ def _kernel(
     rt: int, wp: int, h_img: int, w_img: int, dtype,
     save_intermediates: bool = False,
     flat_input: bool = False,
+    flat_parts: int = 1,
 ):
     if flat_input:
-        xu_ref, xc_ref, xd_ref = refs[:3]
-        refs = refs[3:]
+        in_refs = refs[: 3 * flat_parts]
+        refs = refs[3 * flat_parts:]
     else:
         xc_ref, xh_ref = refs[:2]
         refs = refs[2:]
@@ -225,8 +226,18 @@ def _kernel(
 
     if flat_input:
         # margin-0 flat input (zero ring columns by the producer's contract)
-        # through clamped three-view reads — identical band content
-        x = assemble_flat_band(xu_ref, xc_ref, xd_ref, n, nb, dtype)
+        # through clamped three-view reads — identical band content. With
+        # flat_parts > 1 the input arrives channel-SPLIT (e.g. a decoder
+        # block's upsample + skip streams); the concat happens here in VMEM,
+        # so the concatenated tensor never exists in HBM.
+        parts = [
+            assemble_flat_band(
+                in_refs[3 * i], in_refs[3 * i + 1], in_refs[3 * i + 2],
+                n, nb, dtype,
+            )
+            for i in range(flat_parts)
+        ]
+        x = parts[0] if flat_parts == 1 else jnp.concatenate(parts, axis=-1)
     else:
         x = assemble_band(xc_ref, xh_ref, dtype)
     h1 = layer(x, w1_ref, b1_ref, (rt + 6) * wp, TAILS[0], 1, True)
@@ -337,6 +348,61 @@ def conv_block_fused_flat(
         interpret=interpret,
     )(
         xf, xf, xf,
+        _regroup(w1.astype(dtype)), b1.astype(jnp.float32)[None, :],
+        _regroup(w2.astype(dtype)), b2.astype(jnp.float32)[None, :],
+        _regroup(w3.astype(dtype)), b3.astype(jnp.float32)[None, :],
+    )
+    return out
+
+
+def conv_block_fused_flat_dual(
+    xa: jax.Array,  # (B, H*wp, Ca) margin-0 flat (zero ring columns)
+    xb: jax.Array,  # (B, H*wp, Cb) margin-0 flat (zero ring columns)
+    h: int, w: int,
+    w1, b1, w2, b2, w3, b3,
+    *,
+    row_tile: int = 16,
+    interpret: bool = False,
+    save_intermediates: bool = False,
+):
+    """Fused block forward whose input is the channel concat [xa | xb],
+    assembled per band in VMEM — the concatenated (B, H*wp, Ca+Cb) tensor
+    never materializes in HBM. Serves the decoder blocks, whose input is
+    upsample(x) ++ skip (reference unet.py:36-44): the two streams feed the
+    kernel directly. ``w1`` still has Cin = Ca + Cb (the parameter layout is
+    unchanged). Returns the margin-0 flat output (+ flat h1, h2 when
+    ``save_intermediates``)."""
+    b = xa.shape[0]
+    cin = xa.shape[-1] + xb.shape[-1]
+    c = w1.shape[-1]
+    rt = min(row_tile, h)
+    assert h % rt == 0 and rt % HALO_ROWS == 0, (h, rt)
+    nb = h // rt
+    wp = canvas_wp(w)
+    dtype = xa.dtype
+
+    kernel = functools.partial(
+        _kernel, rt=rt, wp=wp, h_img=h, w_img=w, dtype=dtype,
+        save_intermediates=save_intermediates, flat_input=True, flat_parts=2,
+    )
+    aup, acore, adown = flat_views(rt, wp, xa.shape[-1], nb)
+    bup, bcore, bdown = flat_views(rt, wp, xb.shape[-1], nb)
+    wspec = pl.BlockSpec(memory_space=pltpu.VMEM)
+    ospec = pl.BlockSpec(
+        (1, rt * wp, c), lambda i, n: (i, n, 0), memory_space=pltpu.VMEM
+    )
+    oshape = jax.ShapeDtypeStruct((b, nb * rt * wp, c), dtype)
+    out = pl.pallas_call(
+        kernel,
+        grid=(b, nb),
+        in_specs=[aup, acore, adown, bup, bcore, bdown,
+                  wspec, wspec, wspec, wspec, wspec, wspec],
+        out_specs=(ospec, ospec, ospec) if save_intermediates else ospec,
+        out_shape=(oshape, oshape, oshape) if save_intermediates else oshape,
+        compiler_params=_compiler_params(),
+        interpret=interpret,
+    )(
+        xa, xa, xa, xb.astype(dtype), xb.astype(dtype), xb.astype(dtype),
         _regroup(w1.astype(dtype)), b1.astype(jnp.float32)[None, :],
         _regroup(w2.astype(dtype)), b2.astype(jnp.float32)[None, :],
         _regroup(w3.astype(dtype)), b3.astype(jnp.float32)[None, :],

@@ -75,21 +75,23 @@ def _kernel(
     rt: int, wp: int, h_img: int, w_img: int, dtype,
     recompute: bool = True,
     flat_io: bool = False,
+    flat_parts: int = 1,
 ):
     if flat_io:
-        (xu_ref, xc_ref, xd_ref, gu_ref, gc_ref, gd_ref,
-         h3u_ref, h3c_ref, h3d_ref, *refs) = allrefs
+        x_refs = allrefs[: 3 * flat_parts]
+        (gu_ref, gc_ref, gd_ref,
+         h3u_ref, h3c_ref, h3d_ref, *refs) = allrefs[3 * flat_parts:]
     else:
         (xc_ref, xh_ref, gc_ref, gh_ref,
          h3u_ref, h3c_ref, h3d_ref, *refs) = allrefs
     if recompute:
         (wf1_ref, b1_ref, wf2_ref, b2_ref,
-         wd1_ref, wd2_ref, wd3_ref,
-         dx_ref, dw1_ref, db1_ref, dw2_ref, db2_ref, dw3_ref, db3_ref) = refs
+         wd1_ref, wd2_ref, wd3_ref, *refs) = refs
     else:
         (h1u_ref, h1c_ref, h1d_ref, h2u_ref, h2c_ref, h2d_ref,
-         wd1_ref, wd2_ref, wd3_ref,
-         dx_ref, dw1_ref, db1_ref, dw2_ref, db2_ref, dw3_ref, db3_ref) = refs
+         wd1_ref, wd2_ref, wd3_ref, *refs) = refs
+    dx_refs = refs[:flat_parts]
+    dw1_ref, db1_ref, dw2_ref, db2_ref, dw3_ref, db3_ref = refs[flat_parts:]
     n = pl.program_id(1)
     nb = pl.num_programs(1)
 
@@ -128,8 +130,17 @@ def _kernel(
     if flat_io:
         # x/g stream as margin-0 flats too (zero ring columns by contract:
         # kernels mask their outputs; flat pool/upsample matrices write
-        # exact zeros at ring columns, and so do their transposes)
-        x = assemble_flat_band(xu_ref, xc_ref, xd_ref, n, nb, dtype)
+        # exact zeros at ring columns, and so do their transposes). With
+        # flat_parts > 1, x arrives channel-split (decoder upsample + skip)
+        # and is concatenated here in VMEM.
+        xs = [
+            assemble_flat_band(
+                x_refs[3 * i], x_refs[3 * i + 1], x_refs[3 * i + 2],
+                n, nb, dtype,
+            )
+            for i in range(flat_parts)
+        ]
+        x = xs[0] if flat_parts == 1 else jnp.concatenate(xs, axis=-1)
         g = assemble_flat_band(gu_ref, gc_ref, gd_ref, n, nb, dtype)
     else:
         x = assemble_band(xc_ref, xh_ref, dtype)
@@ -188,12 +199,18 @@ def _kernel(
         # emit the margin-0 flat directly: F[j] = dx_b[j - 4] within every
         # band (positions j < 4 of a band are ring columns of its first row,
         # exact zeros; the 4 values dropped at the tail are the last row's
-        # ring columns)
-        dx_ref[0] = jnp.concatenate(
+        # ring columns). With flat_parts > 1 the cotangent splits back into
+        # the per-part streams (lane slices) — no XLA-side split needed.
+        v = jnp.concatenate(
             [jnp.zeros((MARGIN, rx.shape[-1]), dtype),
              rx[: l_dx - MARGIN, :].astype(dtype)], axis=0)
+        off = 0
+        for ref in dx_refs:
+            lanes = ref.shape[-1]
+            ref[0] = v[:, off : off + lanes]
+            off += lanes
     else:
-        dx_ref[0] = rx.astype(dtype)
+        dx_refs[0][0] = rx.astype(dtype)
 
     # ---- weight/bias gradients over band-owned rows [4, rt+4), ACCUMULATED
     # in-kernel across the whole (batch, band) grid: the dw/db output blocks
@@ -421,6 +438,107 @@ def conv_block_bwd_flat(
         return jnp.sum(p, axis=(0, 1))[0]
 
     return (dxf, _dw(dw1p, cin), _db(db1p), _dw(dw2p, c), _db(db2p),
+            _dw(dw3p, c), _db(db3p))
+
+
+@functools.partial(jax.jit, static_argnames=("h", "w", "row_tile", "interpret"))
+def conv_block_bwd_flat_dual(
+    xaf: jax.Array,  # (B, H*wp, Ca) margin-0 flat of the fwd input part A
+    xbf: jax.Array,  # (B, H*wp, Cb) margin-0 flat of the fwd input part B
+    h3f: jax.Array,  # (B, H*wp, C)  margin-0 fwd output flat
+    gf: jax.Array,   # (B, H*wp, C)  margin-0 flat of the cotangent
+    h1f: jax.Array, h2f: jax.Array,  # margin-0 flat fwd intermediates
+    h: int, w: int,
+    w1: jax.Array, b1: jax.Array,
+    w2: jax.Array, b2: jax.Array,
+    w3: jax.Array,
+    *,
+    row_tile: int = 16,
+    interpret: bool = False,
+):
+    """Backward of :func:`conv_block_fused_flat_dual`: the forward input is
+    the channel concat [xa | xb] assembled per band in VMEM, and the input
+    cotangent comes back SPLIT as (dxa, dxb) — neither the concatenated
+    input nor its cotangent ever exists in HBM. Returns
+    (dxaf, dxbf, dw1, db1, dw2, db2, dw3, db3); dw in HWIO f32 with
+    Cin = Ca + Cb (the parameter layout is unchanged)."""
+    b = xaf.shape[0]
+    ca, cb = xaf.shape[-1], xbf.shape[-1]
+    cin = ca + cb
+    c = w1.shape[-1]
+    rt = min(row_tile, h)
+    assert h % rt == 0, (h, rt)
+    nb = h // rt
+    wp = canvas_wp(w)
+    dtype = xaf.dtype
+
+    kernel = functools.partial(
+        _kernel, rt=rt, wp=wp, h_img=h, w_img=w, dtype=dtype,
+        recompute=False, flat_io=True, flat_parts=2)
+    vmem = pl.BlockSpec(memory_space=pltpu.VMEM)
+    aup, acore, adown = flat_views(rt, wp, ca, nb)
+    bup, bcore, bdown = flat_views(rt, wp, cb, nb)
+    hup, hcore, hdown = flat_views(rt, wp, c, nb)
+
+    out_shapes = (
+        jax.ShapeDtypeStruct((b, nb * rt * wp, ca), dtype),         # dxa flat
+        jax.ShapeDtypeStruct((b, nb * rt * wp, cb), dtype),         # dxb flat
+        jax.ShapeDtypeStruct((1, 1, 3, 3 * cin, c), jnp.float32),   # dw1
+        jax.ShapeDtypeStruct((1, 1, 1, c), jnp.float32),            # db1
+        jax.ShapeDtypeStruct((1, 1, 3, 3 * c, c), jnp.float32),     # dw2
+        jax.ShapeDtypeStruct((1, 1, 1, c), jnp.float32),            # db2
+        jax.ShapeDtypeStruct((1, 1, 3, 3 * c, c), jnp.float32),     # dw3
+        jax.ShapeDtypeStruct((1, 1, 1, c), jnp.float32),            # db3
+    )
+    out_specs = (
+        pl.BlockSpec((1, rt * wp, ca), lambda i, n: (i, n, 0),
+                     memory_space=pltpu.VMEM),
+        pl.BlockSpec((1, rt * wp, cb), lambda i, n: (i, n, 0),
+                     memory_space=pltpu.VMEM),
+        # dw/db: grid-constant index maps -> in-kernel accumulators
+        pl.BlockSpec((1, 1, 3, 3 * cin, c), lambda i, n: (0, 0, 0, 0, 0),
+                     memory_space=pltpu.VMEM),
+        pl.BlockSpec((1, 1, 1, c), lambda i, n: (0, 0, 0, 0),
+                     memory_space=pltpu.VMEM),
+        pl.BlockSpec((1, 1, 3, 3 * c, c), lambda i, n: (0, 0, 0, 0, 0),
+                     memory_space=pltpu.VMEM),
+        pl.BlockSpec((1, 1, 1, c), lambda i, n: (0, 0, 0, 0),
+                     memory_space=pltpu.VMEM),
+        pl.BlockSpec((1, 1, 3, 3 * c, c), lambda i, n: (0, 0, 0, 0, 0),
+                     memory_space=pltpu.VMEM),
+        pl.BlockSpec((1, 1, 1, c), lambda i, n: (0, 0, 0, 0),
+                     memory_space=pltpu.VMEM),
+    )
+
+    outs = pl.pallas_call(
+        kernel,
+        grid=(b, nb),
+        in_specs=[
+            aup, acore, adown, bup, bcore, bdown,
+            hup, hcore, hdown, hup, hcore, hdown,
+            hup, hcore, hdown, hup, hcore, hdown,
+            vmem, vmem, vmem,
+        ],
+        out_specs=out_specs,
+        out_shape=out_shapes,
+        compiler_params=_compiler_params(),
+        interpret=interpret,
+    )(
+        xaf, xaf, xaf, xbf, xbf, xbf, gf, gf, gf, h3f, h3f, h3f,
+        h1f, h1f, h1f, h2f, h2f, h2f,
+        _prep_dgrad(w1.astype(dtype)), _prep_dgrad(w2.astype(dtype)),
+        _prep_dgrad(w3.astype(dtype)),
+    )
+    dxaf, dxbf, dw1p, db1p, dw2p, db2p, dw3p, db3p = outs
+
+    def _dw(p, ci):
+        s = jnp.sum(p, axis=(0, 1))
+        return s.reshape(3, 3, ci, c).transpose(1, 0, 2, 3)
+
+    def _db(p):
+        return jnp.sum(p, axis=(0, 1))[0]
+
+    return (dxaf, dxbf, _dw(dw1p, cin), _db(db1p), _dw(dw2p, c), _db(db2p),
             _dw(dw3p, c), _db(db3p))
 
 

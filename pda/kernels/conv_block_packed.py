@@ -167,6 +167,36 @@ def pack_weights(w: jax.Array):
     return wc, wm
 
 
+def dec_perm(cu: int, cs: int):
+    """Row permutation mapping the standard packed input-channel order
+    [cat_e(cu+cs) | cat_o(cu+cs)] (cat = [up | skip]) to the decoder
+    kernel's operand layout [up_e(cu) | up_o(cu) | skip_e(cs) | skip_o(cs)]
+    — the layout the three input streams concatenate to at lane offsets
+    (0, cu, 2cu), all 128-aligned at the real geometries.
+
+    Returns (perm, inv): ``w_dec = w_std[perm]``; ``m_std = m_dec[inv]``."""
+    cin = cu + cs
+    perm = (
+        list(range(0, cu))                 # up_e
+        + list(range(cin, cin + cu))       # up_o
+        + list(range(cu, cin))             # skip_e
+        + list(range(cin + cu, 2 * cin))   # skip_o
+    )
+    inv = [0] * (2 * cin)
+    for pos, std in enumerate(perm):
+        inv[std] = pos
+    return perm, inv
+
+
+def dec_top_pred(cu: int, cs: int):
+    """EVEN-flat-position lane predicate for the dec_perm operand layout."""
+
+    def pred(lane):
+        return (lane < cu) | ((lane >= 2 * cu) & (lane < 2 * cu + cs))
+
+    return pred
+
+
 def stencil_packed(h, wc_ref, wm_ref, l_out: int, off0: int, headroom: int):
     """Packed conv stencil: f32 accumulator of length l_out + headroom.
 
@@ -178,12 +208,16 @@ def stencil_packed(h, wc_ref, wm_ref, l_out: int, off0: int, headroom: int):
 
 
 def _make_stencil(wpp: int):
-    def stencil(h, wc_ref, wm_ref, l_out: int, off0: int, headroom: int):
+    def stencil(h, wc_ref, wm_ref, l_out: int, off0: int, headroom: int,
+                top_pred=None):
         n_out = l_out + headroom
         cin2 = h.shape[-1]
         half = cin2 // 2
         lane = jax.lax.broadcasted_iota(jnp.int32, (n_out, cin2), 1)
-        top = lane < half
+        # which lanes hold EVEN flat positions (operand layout is the
+        # standard [even-half | odd-half] pairing unless the caller runs a
+        # permuted multi-part layout — see dec_perm)
+        top = (lane < half) if top_pred is None else top_pred(lane)
         if 3 * cin2 <= 128:
             # Small-K fold (input-level blocks, Cin <= 21): each n-row MXU
             # pass costs the same flow time whether K is 4 or 128, so the
@@ -255,10 +289,12 @@ def _kernel(
     rt: int, wpp: int, h_img: int, w_img: int, dtype,
     save_intermediates: bool = False,
     flat_input: bool = False,
+    dec_parts=None,  # (cu, cs): input is (ue, uo, skip) streams, dec_perm layout
 ):
+    flat_parts = 3 if dec_parts else 1
     if flat_input:
-        xu_ref, xc_ref, xd_ref = refs[:3]
-        refs = refs[3:]
+        in_refs = refs[: 3 * flat_parts]
+        refs = refs[3 * flat_parts:]
     else:
         xc_ref, xh_ref = refs[:2]
         refs = refs[2:]
@@ -271,20 +307,34 @@ def _kernel(
     stencil = _make_stencil(wpp)
     img_mask = _make_img_mask(wpp, rt, h_img, w_img)
 
-    def layer(h, wc_ref, wm_ref, b_ref, l_out, tail, base, mask):
+    def layer(h, wc_ref, wm_ref, b_ref, l_out, tail, base, mask, top_pred=None):
         n_out = l_out + tail
-        acc = stencil(h, wc_ref, wm_ref, l_out, 0, tail)
+        acc = stencil(h, wc_ref, wm_ref, l_out, 0, tail, top_pred=top_pred)
         out = jnp.maximum(acc + b_ref[0][None, :], 0.0)
         if mask:
             out = jnp.where(img_mask(n, n_out, base), out, 0.0)
         return out.astype(dtype)
 
+    top1 = None
     if flat_input:
-        # margin-0 packed flat input (zero ring by the producer's contract)
-        x = assemble_flat_band(xu_ref, xc_ref, xd_ref, n, nb, dtype)
+        # margin-0 packed flat input (zero ring by the producer's contract).
+        # With dec_parts the decoder's (upsample-even, upsample-odd, packed
+        # skip) streams concatenate HERE in VMEM (dec_perm layout; weights
+        # arrive row-permuted to match) — the concat never exists in HBM.
+        parts = [
+            assemble_flat_band(
+                in_refs[3 * i], in_refs[3 * i + 1], in_refs[3 * i + 2],
+                n, nb, dtype,
+            )
+            for i in range(flat_parts)
+        ]
+        x = parts[0] if flat_parts == 1 else jnp.concatenate(parts, axis=-1)
+        if dec_parts:
+            top1 = dec_top_pred(*dec_parts)
     else:
         x = assemble_band(xc_ref, xh_ref, dtype)
-    h1 = layer(x, wc1_ref, wm1_ref, b1_ref, (rt + 6) * wpp, TAILS[0], 1, True)
+    h1 = layer(x, wc1_ref, wm1_ref, b1_ref, (rt + 6) * wpp, TAILS[0], 1, True,
+               top_pred=top1)
     h2 = layer(h1, wc2_ref, wm2_ref, b2_ref, (rt + 4) * wpp, TAILS[1], 2, True)
     # h3 IS masked: the flat pipeline feeds this output straight into the
     # next kernel / flat op, whose stencils rely on exact-zero ring columns
@@ -391,6 +441,70 @@ def conv_block_packed_flat(
         compiler_params=_compiler_params(),
         interpret=interpret,
     )(xf, xf, xf, *packed)
+    return out
+
+
+def conv_block_packed_flat_dec(
+    ue: jax.Array,   # (B, H*wpp, Cu) even-position upsample stream
+    uo: jax.Array,   # (B, H*wpp, Cu) odd-position upsample stream
+    skp: jax.Array,  # (B, H*wpp, 2*Cs) packed skip flat
+    h: int, w: int,
+    w1, b1, w2, b2, w3, b3,
+    *,
+    row_tile: int = 32,
+    interpret: bool = False,
+    save_intermediates: bool = False,
+):
+    """Packed fused decoder block forward whose input is the channel concat
+    [upsample | skip] (reference unet.py:36-44) fed as THREE separate
+    streams: the upsample's even/odd lane halves (the two W-contraction
+    outputs of the flat upsample, never lane-concatenated) and the packed
+    skip. The band concat happens in VMEM at 128-aligned lane offsets
+    (dec_perm layout; w1's rows are permuted to match), so neither the
+    packed upsample nor the concatenated input ever exists in HBM. Returns
+    the standard packed margin-0 flat output (+ h1, h2 when requested)."""
+    b = ue.shape[0]
+    cu = ue.shape[-1]
+    cs = skp.shape[-1] // 2
+    cin = cu + cs
+    c = w1.shape[-1]
+    rt = min(row_tile, h)
+    assert h % rt == 0 and rt % HALO_IMG_ROWS == 0, (h, rt)
+    nb = h // rt
+    wpp = packed_wpp(w)
+    dtype = ue.dtype
+
+    kernel = functools.partial(
+        _kernel, rt=rt, wpp=wpp, h_img=h, w_img=w, dtype=dtype,
+        save_intermediates=save_intermediates, flat_input=True,
+        dec_parts=(cu, cs),
+    )
+    uviews = flat_views(rt, wpp, cu, nb)
+    sviews = flat_views(rt, wpp, 2 * cs, nb)
+    wspec = pl.BlockSpec(memory_space=pltpu.VMEM)
+    ospec = pl.BlockSpec(
+        (1, rt * wpp, 2 * c), lambda i, n: (i, n, 0), memory_space=pltpu.VMEM
+    )
+    oshape = jax.ShapeDtypeStruct((b, nb * rt * wpp, 2 * c), dtype)
+
+    perm, _ = dec_perm(cu, cs)
+    packed = []
+    for i, (wk, bk) in enumerate(((w1, b1), (w2, b2), (w3, b3))):
+        wc, wm = pack_weights(wk.astype(dtype))
+        if i == 0:
+            wc, wm = wc[:, perm, :], wm[:, perm, :]
+        packed += [wc, wm, jnp.tile(bk.astype(jnp.float32), 2)[None, :]]
+
+    out = pl.pallas_call(
+        kernel,
+        grid=(b, nb),
+        in_specs=[*uviews, *uviews, *sviews] + [wspec] * 9,
+        out_specs=(ospec, ospec, ospec) if save_intermediates else ospec,
+        out_shape=(oshape, oshape, oshape) if save_intermediates else oshape,
+        compiler_params=_compiler_params(),
+        interpret=interpret,
+    )(ue, ue, ue, uo.astype(dtype), uo.astype(dtype), uo.astype(dtype),
+      skp.astype(dtype), skp.astype(dtype), skp.astype(dtype), *packed)
     return out
 
 

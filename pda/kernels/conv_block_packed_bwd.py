@@ -86,9 +86,12 @@ def _kernel(
     flat_io: bool = False,
     need_dx: bool = True,
     recompute: bool = False,
+    dec_parts=None,  # (cu, cs): x is (ue, uo, skip) streams, dec_perm layout
 ):
+    flat_parts = 3 if dec_parts else 1
     if flat_io:
-        (xu_ref, xc_ref, xd_ref, gu_ref, gc_ref, gd_ref, *refs) = allrefs
+        x_refs = allrefs[: 3 * flat_parts]
+        (gu_ref, gc_ref, gd_ref, *refs) = allrefs[3 * flat_parts:]
     else:
         (xc_ref, xh_ref, gc_ref, gh_ref, *refs) = allrefs
     (h3u_ref, h3c_ref, h3d_ref, *refs) = refs
@@ -99,16 +102,25 @@ def _kernel(
     if need_dx:
         (wd1c_ref, wd1m_ref, *refs) = refs
     (wd2c_ref, wd2m_ref, wd3c_ref, wd3m_ref, *refs) = refs
-    if need_dx:
-        (dx_ref, *refs) = refs
+    dx_refs = refs[: flat_parts if need_dx else 0]
+    refs = refs[flat_parts if need_dx else 0:]
     (dw1_ref, db1_ref, dw2_ref, db2_ref, dw3_ref, db3_ref) = refs
     stencil = _make_stencil(wpp)
     n = pl.program_id(1)
     nb = pl.num_programs(1)
 
     if flat_io:
-        # x/g stream as margin-0 packed flats (zero ring cols by contract)
-        x = assemble_flat_band(xu_ref, xc_ref, xd_ref, n, nb, dtype)
+        # x/g stream as margin-0 packed flats (zero ring cols by contract).
+        # With dec_parts, x arrives as the decoder's three input streams and
+        # concatenates here in VMEM (dec_perm layout, matching the forward).
+        xs = [
+            assemble_flat_band(
+                x_refs[3 * i], x_refs[3 * i + 1], x_refs[3 * i + 2],
+                n, nb, dtype,
+            )
+            for i in range(flat_parts)
+        ]
+        x = xs[0] if flat_parts == 1 else jnp.concatenate(xs, axis=-1)
         g = assemble_flat_band(gu_ref, gc_ref, gd_ref, n, nb, dtype)
     else:
         x = assemble_band(xc_ref, xh_ref, dtype)
@@ -173,7 +185,15 @@ def _kernel(
     if need_dx:
         # dx (base 3): owned rows [4, rt+4) start at j = wpp - 3
         r_dx = stencil(da1, wd1c_ref, wd1m_ref, l_dx, 0, 0)
-        dx_ref[0] = r_dx[wpp - 3 : wpp - 3 + rt * wpp, :].astype(dtype)
+        v = r_dx[wpp - 3 : wpp - 3 + rt * wpp, :].astype(dtype)
+        # with dec_parts the dgrad weights' columns are dec_perm-permuted,
+        # so v's lanes are already (d_ue | d_uo | d_skip-packed): the split
+        # back into the three producer streams is three lane slices
+        off = 0
+        for ref in dx_refs:
+            lanes = ref.shape[-1]
+            ref[0] = v[:, off : off + lanes]
+            off += lanes
 
     # ---- packed weight/bias gradients over owned rows [4, rt+4),
     # ACCUMULATED in-kernel across the whole (batch, band) grid: the dw/db
@@ -448,6 +468,122 @@ def conv_block_packed_bwd_flat(
     return (
         dxf,
         _assemble_dw(dw1p, cin, c), _db(db1p),
+        _assemble_dw(dw2p, c, c), _db(db2p),
+        _assemble_dw(dw3p, c, c), _db(db3p),
+    )
+
+
+@functools.partial(
+    jax.jit, static_argnames=("h", "w", "row_tile", "interpret"),
+)
+def conv_block_packed_bwd_flat_dec(
+    ue: jax.Array,   # (B, H*wpp, Cu) even-position upsample stream
+    uo: jax.Array,   # (B, H*wpp, Cu) odd-position upsample stream
+    skp: jax.Array,  # (B, H*wpp, 2*Cs) packed skip flat
+    h3f: jax.Array,  # (B, H*wpp, 2*C) packed fwd output flat
+    gf: jax.Array,   # (B, H*wpp, 2*C) packed cotangent flat
+    h1f, h2f,        # packed margin-0 flat fwd intermediates
+    h: int, w: int,
+    w1: jax.Array, w2: jax.Array, w3: jax.Array,
+    *,
+    row_tile: int = 16,
+    interpret: bool = False,
+):
+    """Backward of :func:`conv_block_packed.conv_block_packed_flat_dec`: the
+    forward input concat [upsample | skip] is re-assembled per band in VMEM
+    from the three streams, and the input cotangent comes back pre-SPLIT as
+    (d_ue, d_uo, d_skip-packed) — the dgrad weights' columns carry the
+    dec_perm permutation, so the split is three lane slices in-kernel.
+    Returns (d_ue, d_uo, d_skp, dw1, db1, dw2, db2, dw3, db3); dw in HWIO
+    f32 with Cin = Cu + Cs (the parameter layout is unchanged)."""
+    from .conv_block_packed import dec_perm
+
+    b = ue.shape[0]
+    cu = ue.shape[-1]
+    cs = skp.shape[-1] // 2
+    cin = cu + cs
+    c = w1.shape[-1]
+    rt = min(row_tile, h)
+    assert h % rt == 0 and rt % HALO_IMG_ROWS == 0, (h, rt)
+    nb = h // rt
+    wpp = packed_wpp(w)
+    dtype = ue.dtype
+    perm, inv = dec_perm(cu, cs)
+
+    kernel = functools.partial(
+        _kernel, rt=rt, wpp=wpp, h_img=h, w_img=w, dtype=dtype, flat_io=True,
+        need_dx=True, recompute=False, dec_parts=(cu, cs))
+    vmem = pl.BlockSpec(memory_space=pltpu.VMEM)
+    uviews = flat_views(rt, wpp, cu, nb)
+    sviews = flat_views(rt, wpp, 2 * cs, nb)
+    hup, hcore, hdown = flat_views(rt, wpp, 2 * c, nb)
+
+    def dw_specs(ci):
+        return (
+            pl.BlockSpec((1, 1, 9, 2 * ci, 2 * c),
+                         lambda i, n: (0, 0, 0, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 1, 1, 2 * c), lambda i, n: (0, 0, 0, 0),
+                         memory_space=pltpu.VMEM),
+        )
+
+    def dw_shapes(ci):
+        return (
+            jax.ShapeDtypeStruct((1, 1, 9, 2 * ci, 2 * c), jnp.float32),
+            jax.ShapeDtypeStruct((1, 1, 1, 2 * c), jnp.float32),
+        )
+
+    in_specs = [*uviews, *uviews, *sviews,
+                hup, hcore, hdown, hup, hcore, hdown,    # g; h3
+                hup, hcore, hdown, hup, hcore, hdown]    # h1; h2
+    inputs = [ue, ue, ue, uo, uo, uo, skp, skp, skp,
+              gf, gf, gf, h3f, h3f, h3f, h1f, h1f, h1f, h2f, h2f, h2f]
+    for i, wk in enumerate((w1, w2, w3)):
+        wc, wm = _prep_dgrad(wk.astype(dtype))
+        if i == 0:
+            # permute the OUTPUT lanes of the input-gradient conv so the
+            # in-kernel dx slices land on the three producer streams
+            wc, wm = wc[:, :, perm], wm[:, :, perm]
+        inputs += [wc, wm]
+        in_specs += [vmem, vmem]
+
+    out_shapes = (
+        jax.ShapeDtypeStruct((b, nb * rt * wpp, cu), dtype),      # d_ue
+        jax.ShapeDtypeStruct((b, nb * rt * wpp, cu), dtype),      # d_uo
+        jax.ShapeDtypeStruct((b, nb * rt * wpp, 2 * cs), dtype),  # d_skip
+        *dw_shapes(cin), *dw_shapes(c), *dw_shapes(c),
+    )
+    out_specs = (
+        pl.BlockSpec((1, rt * wpp, cu), lambda i, n: (i, n, 0),
+                     memory_space=pltpu.VMEM),
+        pl.BlockSpec((1, rt * wpp, cu), lambda i, n: (i, n, 0),
+                     memory_space=pltpu.VMEM),
+        pl.BlockSpec((1, rt * wpp, 2 * cs), lambda i, n: (i, n, 0),
+                     memory_space=pltpu.VMEM),
+        *dw_specs(cin), *dw_specs(c), *dw_specs(c),
+    )
+
+    outs = pl.pallas_call(
+        kernel,
+        grid=(b, nb),
+        in_specs=in_specs,
+        out_specs=out_specs,
+        out_shape=out_shapes,
+        compiler_params=_compiler_params(),
+        interpret=interpret,
+    )(*inputs)
+    due, duo, dskp, dw1p, db1p, dw2p, db2p, dw3p, db3p = outs
+
+    def _db(p):
+        s = jnp.sum(p, axis=(0, 1))[0]
+        return s[:c] + s[c:]
+
+    # dw1's input-channel rows are in dec_perm order: un-permute, then the
+    # standard quadrant assembly applies
+    dw1p_std = dw1p[:, :, :, jnp.asarray(inv), :]
+    return (
+        due, duo, dskp,
+        _assemble_dw(dw1p_std, cin, c), _db(db1p),
         _assemble_dw(dw2p, c, c), _db(db2p),
         _assemble_dw(dw3p, c, c), _db(db3p),
     )

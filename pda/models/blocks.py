@@ -408,6 +408,111 @@ conv3_relu_flat.defvjp(_conv3f_fwd, _conv3f_bwd)
 
 
 @functools.partial(jax.custom_vjp, nondiff_argnums=(0, 1))
+def conv3_relu_flat_dual(h, w, xa, xb, w1, b1, w2, b2, w3, b3):
+    """Flat ConvBlock whose input is the channel concat [xa | xb], assembled
+    per band inside the kernel (VMEM) — used by the decoder blocks so the
+    upsample ++ skip concat (reference unet.py:36-44) never materializes in
+    HBM, and the backward emits (dxa, dxb) directly with no XLA-side split."""
+    from ..kernels.conv_block import conv_block_fused_flat_dual
+
+    rt = _fwd_row_tile(h, xa.shape[-1] + xb.shape[-1], w1.shape[-1])
+    return conv_block_fused_flat_dual(
+        xa, xb, h, w, w1, b1, w2, b2, w3, b3, row_tile=rt
+    )
+
+
+def _conv3fd_fwd(h, w, xa, xb, w1, b1, w2, b2, w3, b3):
+    from ..kernels.conv_block import conv_block_fused_flat_dual
+
+    rt = _fwd_row_tile(h, xa.shape[-1] + xb.shape[-1], w1.shape[-1])
+    outf, h1f, h2f = conv_block_fused_flat_dual(
+        xa, xb, h, w, w1, b1, w2, b2, w3, b3,
+        row_tile=rt, save_intermediates=True,
+    )
+    return outf, (xa, xb, outf, h1f, h2f, w1, b1, w2, b2, w3)
+
+
+def _conv3fd_bwd(h, w, res, g):
+    from ..kernels.conv_block_bwd import conv_block_bwd_flat_dual
+
+    xa, xb, outf, h1f, h2f, w1, b1, w2, b2, w3 = res
+    rt = _bwd_row_tile(h, xa.shape[-1] + xb.shape[-1], w1.shape[-1])
+    return conv_block_bwd_flat_dual(
+        xa, xb, outf, g.astype(xa.dtype), h1f, h2f,
+        h, w, w1, b1, w2, b2, w3, row_tile=rt,
+    )
+
+
+conv3_relu_flat_dual.defvjp(_conv3fd_fwd, _conv3fd_bwd)
+
+
+def dual_flat_enabled(ca: int, cb: int) -> bool:
+    """The dual-input kernels want both lane groups 128-aligned so the
+    in-kernel lane concat and the split dx writes are register moves (the
+    decoder geometries U1/U2 qualify: 512+256, 256+128)."""
+    return (
+        ca % 128 == 0
+        and cb % 128 == 0
+        and os.environ.get("PDA_PALLAS_DUAL", "1") != "0"
+    )
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(0, 1))
+def conv3_relu_flat_packed_dec(h, w, ue, uo, skp, w1, b1, w2, b2, w3, b3):
+    """Packed flat decoder ConvBlock whose input concat [upsample | skip]
+    (reference unet.py:36-44) is assembled per band inside the kernel from
+    the upsample's even/odd streams + the packed skip — no packed-upsample
+    concat, no interleave, and no cotangent split ever materialize in HBM."""
+    from ..kernels.conv_block_packed import conv_block_packed_flat_dec
+
+    cin = ue.shape[-1] + skp.shape[-1] // 2
+    rt = _packed_fwd_row_tile(h, cin, w1.shape[-1])
+    return conv_block_packed_flat_dec(
+        ue, uo, skp, h, w, w1, b1, w2, b2, w3, b3, row_tile=rt
+    )
+
+
+def _conv3fpd_fwd(h, w, ue, uo, skp, w1, b1, w2, b2, w3, b3):
+    from ..kernels.conv_block_packed import conv_block_packed_flat_dec
+
+    cin = ue.shape[-1] + skp.shape[-1] // 2
+    rt = _packed_fwd_row_tile(h, cin, w1.shape[-1])
+    outf, h1f, h2f = conv_block_packed_flat_dec(
+        ue, uo, skp, h, w, w1, b1, w2, b2, w3, b3,
+        row_tile=rt, save_intermediates=True,
+    )
+    return outf, (ue, uo, skp, outf, h1f, h2f, w1, b1, w2, b2, w3)
+
+
+def _conv3fpd_bwd(h, w, res, g):
+    from ..kernels.conv_block_packed_bwd import conv_block_packed_bwd_flat_dec
+
+    ue, uo, skp, outf, h1f, h2f, w1, b1, w2, b2, w3 = res
+    cin = ue.shape[-1] + skp.shape[-1] // 2
+    rt = _packed_bwd_row_tile(h, cin, w1.shape[-1])
+    due, duo, dskp, dw1, db1, dw2, db2, dw3, db3 = (
+        conv_block_packed_bwd_flat_dec(
+            ue, uo, skp, outf, g.astype(ue.dtype), h1f, h2f,
+            h, w, w1, w2, w3, row_tile=rt,
+        )
+    )
+    return due, duo, dskp, dw1, db1, dw2, db2, dw3, db3
+
+
+conv3_relu_flat_packed_dec.defvjp(_conv3fpd_fwd, _conv3fpd_bwd)
+
+
+def dec_packed_flat_enabled(cu: int, cs: int) -> bool:
+    """Triple-input packed decoder kernel gate: the in-kernel lane offsets
+    (0, cu, 2cu) must be 128-aligned (dec-U3: cu=128, cs=64 qualifies)."""
+    return (
+        cu % 128 == 0
+        and (2 * cs) % 128 == 0
+        and os.environ.get("PDA_PALLAS_DUAL", "1") != "0"
+    )
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(0, 1))
 def conv3_relu_flat_packed(h, w, xf, w1, b1, w2, b2, w3, b3):
     from ..kernels.conv_block_packed import conv_block_packed_flat
 
@@ -589,7 +694,7 @@ class ConvBlock(nn.Module):
             x = jnp.maximum(_conv_same(x, cp.kernel) + cp.bias.astype(x.dtype), 0.0)
         return x
 
-    def _call_flat(self, x: jax.Array, h: int, w: int, cin: int) -> jax.Array:
+    def _call_flat(self, x, h: int, w: int, cin: int) -> jax.Array:
         from . import flat_ops
 
         assert self.n_convs == 3, "flat mode serves the 3-conv blocks"
@@ -601,6 +706,19 @@ class ConvBlock(nn.Module):
             )
             params.append(cp)
             ci = self.features
+        weights = (
+            params[0].kernel, params[0].bias,
+            params[1].kernel, params[1].bias,
+            params[2].kernel, params[2].bias,
+        )
+        if isinstance(x, tuple):
+            # channel-split input (decoder upsample + skip): the concat
+            # happens per band inside the dual/triple-input kernel
+            assert not self.pool
+            parts = tuple(p.astype(self.dtype) for p in x)
+            if len(parts) == 3:  # packed: (upsample even, odd, packed skip)
+                return conv3_relu_flat_packed_dec(h, w, *parts, *weights)
+            return conv3_relu_flat_dual(h, w, *parts, *weights)
         if self.pool:
             packed_in = x.shape[-1] == 2 * cin
             pool = flat_ops.pool_flat_packed if packed_in else flat_ops.pool_flat
@@ -609,12 +727,7 @@ class ConvBlock(nn.Module):
         x = x.astype(self.dtype)
         packed = x.shape[-1] == 2 * cin
         fn = conv3_relu_flat_packed if packed else conv3_relu_flat
-        return fn(
-            h, w, x,
-            params[0].kernel, params[0].bias,
-            params[1].kernel, params[1].bias,
-            params[2].kernel, params[2].bias,
-        )
+        return fn(h, w, x, *weights)
 
 
 class UpBlock(nn.Module):
@@ -640,9 +753,24 @@ class UpBlock(nn.Module):
             from . import flat_ops
 
             h, w, cin, cb, packed = flat_geom
-            if packed:
+            if packed and dec_packed_flat_enabled(cin, cb):
+                # feed the upsample's even/odd streams and the packed skip
+                # to the kernel separately: the packed concat + interleave
+                # happen per band in VMEM
+                ue, uo = flat_ops.upsample_flat_packed_parts(x, h, w)
+                return ConvBlock(
+                    self.features, n_convs=self.n_convs, dtype=self.dtype
+                )((ue, uo, bridge), flat_geom=(2 * h, 2 * w, cin + cb))
+            elif packed:
                 up = flat_ops.upsample_flat_to_packed(x, h, w)
                 cat = flat_ops.concat_packed_pair(up, bridge, cin, cb)
+            elif dual_flat_enabled(cin, cb):
+                # feed the upsample and the skip to the kernel as separate
+                # streams: the concat happens per band in VMEM
+                up = flat_ops.upsample_flat(x, h, w)
+                return ConvBlock(
+                    self.features, n_convs=self.n_convs, dtype=self.dtype
+                )((up, bridge), flat_geom=(2 * h, 2 * w, cin + cb))
             else:
                 up = flat_ops.upsample_flat(x, h, w)
                 cat = flat_ops.concat_flat(up, bridge)

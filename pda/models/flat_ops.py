@@ -185,6 +185,25 @@ def upsample_flat_to_packed(xf: jax.Array, h: int, w: int) -> jax.Array:
     return out.reshape(b, 2 * h * packed_wpp(2 * w), 2 * c)
 
 
+def upsample_flat_packed_parts(xf: jax.Array, h: int, w: int):
+    """The even/odd lane-half streams of :func:`upsample_flat_to_packed`,
+    kept SEPARATE (each (B, 2h*wpp2, C)) for the triple-input decoder kernel
+    — the packed upsample tensor is never lane-concatenated in HBM."""
+    b, _, c = xf.shape
+    wp = canvas_wp(w)
+    x4 = xf.reshape(b, h, wp, c)
+    prec = _precision_for(xf.dtype)
+    mh = jnp.asarray(_upsample_matrix(h), xf.dtype)
+    even_np, odd_np = _up_w_packed(w)
+    x4 = jnp.einsum("Hh,bhwc->bHwc", mh, x4, precision=prec)
+    wpp2 = packed_wpp(2 * w)
+    ue = jnp.einsum("Jw,bhwc->bhJc", jnp.asarray(even_np, xf.dtype), x4,
+                    precision=prec)
+    uo = jnp.einsum("Jw,bhwc->bhJc", jnp.asarray(odd_np, xf.dtype), x4,
+                    precision=prec)
+    return ue.reshape(b, 2 * h * wpp2, c), uo.reshape(b, 2 * h * wpp2, c)
+
+
 def concat_flat(a: jax.Array, b: jax.Array) -> jax.Array:
     """Channel concat of two unpacked flats sharing one geometry."""
     return jnp.concatenate([a, b], axis=-1)

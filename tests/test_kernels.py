@@ -333,6 +333,115 @@ class TestFlatKernelVariants:
             assert rel < 2e-5, (name, rel)
 
     @pytest.mark.parametrize(
+        "shape,ca,cb,c,rt", [((2, 32, 32, 12), 8, 4, 8, 8),
+                             ((1, 16, 48, 6), 2, 4, 8, 8)]
+    )
+    def test_flat_dual_input_matches_concat(self, shape, ca, cb, c, rt):
+        """The dual-input kernels (decoder upsample + skip fed as separate
+        streams, concat in VMEM) must equal the single-input flat kernels on
+        the concatenated input — forward and every gradient."""
+        from pda.kernels.conv_block import canvas_wp, flat_m0
+        from pda.models.blocks import conv3_relu_flat, conv3_relu_flat_dual
+
+        x, ws, bs, _ = self._mk(shape, c, 29)
+        b, h, w, cin = shape
+        assert cin == ca + cb
+        wp = canvas_wp(w)
+        xaf = flat_m0(x[..., :ca], wp)
+        xbf = flat_m0(x[..., ca:], wp)
+        catf = jnp.concatenate([xaf, xbf], axis=-1)
+
+        def f_cat(xaf, xbf, *wargs):
+            out = conv3_relu_flat(
+                h, w, jnp.concatenate([xaf, xbf], -1), *wargs
+            )
+            return jnp.sum(out * jnp.cos(jnp.arange(out.size)).reshape(out.shape))
+
+        def f_dual(xaf, xbf, *wargs):
+            out = conv3_relu_flat_dual(h, w, xaf, xbf, *wargs)
+            return jnp.sum(out * jnp.cos(jnp.arange(out.size)).reshape(out.shape))
+
+        wargs = (ws[0], bs[0], ws[1], bs[1], ws[2], bs[2])
+        from jax.experimental.pallas import tpu as pltpu
+
+        with pltpu.force_tpu_interpret_mode():
+            o_cat = conv3_relu_flat(h, w, catf, *wargs)
+            o_dual = conv3_relu_flat_dual(h, w, xaf, xbf, *wargs)
+            np.testing.assert_allclose(o_dual, o_cat, rtol=1e-5, atol=1e-6)
+            g_cat = jax.grad(f_cat, argnums=tuple(range(8)))(xaf, xbf, *wargs)
+            g_dual = jax.grad(f_dual, argnums=tuple(range(8)))(xaf, xbf, *wargs)
+        for name, a, r in zip(
+            ["dxa", "dxb", "dw1", "db1", "dw2", "db2", "dw3", "db3"],
+            g_dual, g_cat,
+        ):
+            rel = float(jnp.abs(a - r).max() / (jnp.abs(r).max() + 1e-9))
+            assert rel < 2e-5, (name, rel)
+
+    @pytest.mark.parametrize(
+        "hw,cu,cs,c", [((8, 8), 8, 4, 4), ((8, 16), 4, 2, 8)]
+    )
+    def test_flat_packed_dec_matches_concat(self, hw, cu, cs, c):
+        """The triple-input packed decoder kernel (upsample even/odd streams
+        + packed skip, concat in VMEM with dec_perm-permuted weights) must
+        equal the packed kernel on the packed concat — forward and every
+        gradient."""
+        from jax.experimental.pallas import tpu as pltpu
+
+        from pda.models import flat_ops
+        from pda.models.blocks import (
+            conv3_relu_flat_packed,
+            conv3_relu_flat_packed_dec,
+        )
+
+        h, w = hw
+        H, W = 2 * h, 2 * w
+        rng = np.random.default_rng(31)
+        x = jnp.asarray(rng.normal(size=(2, h, w, cu)).astype(np.float32))
+        skip = jnp.asarray(rng.normal(size=(2, H, W, cs)).astype(np.float32))
+        cin = cu + cs
+        ws, bs = [], []
+        for (i, o) in [(cin, c), (c, c), (c, c)]:
+            ws.append(jnp.asarray(
+                rng.normal(size=(3, 3, i, o)).astype(np.float32)) * 0.2)
+            bs.append(jnp.asarray(
+                rng.normal(size=(o,)).astype(np.float32)) * 0.1)
+        wargs = (ws[0], bs[0], ws[1], bs[1], ws[2], bs[2])
+        xf = flat_ops.to_flat(x)
+        skpf = flat_ops.to_flat_packed(skip)
+
+        def f_ref(xf, skpf, *wargs):
+            upf = flat_ops.upsample_flat_to_packed(xf, h, w)
+            cat = flat_ops.concat_packed_pair(upf, skpf, cu, cs)
+            return conv3_relu_flat_packed(H, W, cat, *wargs)
+
+        def f_dec(xf, skpf, *wargs):
+            ue, uo = flat_ops.upsample_flat_packed_parts(xf, h, w)
+            return conv3_relu_flat_packed_dec(H, W, ue, uo, skpf, *wargs)
+
+        def loss(f):
+            def g(*a):
+                out = f(*a)
+                return jnp.sum(
+                    out * jnp.cos(jnp.arange(out.size)).reshape(out.shape)
+                )
+            return g
+
+        with pltpu.force_tpu_interpret_mode():
+            o_ref = f_ref(xf, skpf, *wargs)
+            o_dec = f_dec(xf, skpf, *wargs)
+            np.testing.assert_allclose(o_dec, o_ref, rtol=1e-4, atol=1e-5)
+            g_ref = jax.grad(loss(f_ref), argnums=tuple(range(8)))(
+                xf, skpf, *wargs)
+            g_dec = jax.grad(loss(f_dec), argnums=tuple(range(8)))(
+                xf, skpf, *wargs)
+        for name, a, r in zip(
+            ["dx", "dskip", "dw1", "db1", "dw2", "db2", "dw3", "db3"],
+            g_dec, g_ref,
+        ):
+            rel = float(jnp.abs(a - r).max() / (jnp.abs(r).max() + 1e-9))
+            assert rel < 2e-5, (name, rel)
+
+    @pytest.mark.parametrize(
         "shape,c,rt", [((2, 32, 32, 1), 8, 16), ((1, 16, 48, 4), 8, 8)]
     )
     def test_flat_forward_packed(self, shape, c, rt):
