@@ -373,7 +373,6 @@ def conv_block_fused_flat_dual(
     unchanged). Returns the margin-0 flat output (+ flat h1, h2 when
     ``save_intermediates``)."""
     b = xa.shape[0]
-    cin = xa.shape[-1] + xb.shape[-1]
     c = w1.shape[-1]
     rt = min(row_tile, h)
     assert h % rt == 0 and rt % HALO_ROWS == 0, (h, rt)

@@ -466,7 +466,6 @@ def conv_block_packed_flat_dec(
     b = ue.shape[0]
     cu = ue.shape[-1]
     cs = skp.shape[-1] // 2
-    cin = cu + cs
     c = w1.shape[-1]
     rt = min(row_tile, h)
     assert h % rt == 0 and rt % HALO_IMG_ROWS == 0, (h, rt)

@@ -753,29 +753,23 @@ class UpBlock(nn.Module):
             from . import flat_ops
 
             h, w, cin, cb, packed = flat_geom
+            # tuple inputs feed the dual/triple-input kernels: the concat
+            # (and, packed, the even/odd interleave) happens per band in VMEM
             if packed and dec_packed_flat_enabled(cin, cb):
-                # feed the upsample's even/odd streams and the packed skip
-                # to the kernel separately: the packed concat + interleave
-                # happen per band in VMEM
-                ue, uo = flat_ops.upsample_flat_packed_parts(x, h, w)
-                return ConvBlock(
-                    self.features, n_convs=self.n_convs, dtype=self.dtype
-                )((ue, uo, bridge), flat_geom=(2 * h, 2 * w, cin + cb))
+                block_in = (
+                    *flat_ops.upsample_flat_packed_parts(x, h, w), bridge
+                )
             elif packed:
                 up = flat_ops.upsample_flat_to_packed(x, h, w)
-                cat = flat_ops.concat_packed_pair(up, bridge, cin, cb)
+                block_in = flat_ops.concat_packed_pair(up, bridge, cin, cb)
             elif dual_flat_enabled(cin, cb):
-                # feed the upsample and the skip to the kernel as separate
-                # streams: the concat happens per band in VMEM
-                up = flat_ops.upsample_flat(x, h, w)
-                return ConvBlock(
-                    self.features, n_convs=self.n_convs, dtype=self.dtype
-                )((up, bridge), flat_geom=(2 * h, 2 * w, cin + cb))
+                block_in = (flat_ops.upsample_flat(x, h, w), bridge)
             else:
-                up = flat_ops.upsample_flat(x, h, w)
-                cat = flat_ops.concat_flat(up, bridge)
+                block_in = flat_ops.concat_flat(
+                    flat_ops.upsample_flat(x, h, w), bridge
+                )
             return ConvBlock(self.features, n_convs=self.n_convs, dtype=self.dtype)(
-                cat, flat_geom=(2 * h, 2 * w, cin + cb)
+                block_in, flat_geom=(2 * h, 2 * w, cin + cb)
             )
         up = upsample_2x_align_corners(x)
         assert up.shape[1] == bridge.shape[1] and up.shape[2] == bridge.shape[2], (

@@ -169,20 +169,9 @@ def upsample_flat(xf: jax.Array, h: int, w: int) -> jax.Array:
 
 def upsample_flat_to_packed(xf: jax.Array, h: int, w: int) -> jax.Array:
     """Bilinear x2 align-corners upsample, flat (h, w) -> PACKED flat
-    (2h, 2w): two W-contractions (even/odd lane halves) + lane concat."""
-    b, _, c = xf.shape
-    wp = canvas_wp(w)
-    x4 = xf.reshape(b, h, wp, c)
-    prec = _precision_for(xf.dtype)
-    mh = jnp.asarray(_upsample_matrix(h), xf.dtype)
-    even_np, odd_np = _up_w_packed(w)
-    x4 = jnp.einsum("Hh,bhwc->bHwc", mh, x4, precision=prec)
-    ue = jnp.einsum("Jw,bhwc->bhJc", jnp.asarray(even_np, xf.dtype), x4,
-                    precision=prec)
-    uo = jnp.einsum("Jw,bhwc->bhJc", jnp.asarray(odd_np, xf.dtype), x4,
-                    precision=prec)
-    out = jnp.concatenate([ue, uo], axis=-1)
-    return out.reshape(b, 2 * h * packed_wpp(2 * w), 2 * c)
+    (2h, 2w): the two even/odd W-contraction streams, lane-concatenated."""
+    ue, uo = upsample_flat_packed_parts(xf, h, w)
+    return jnp.concatenate([ue, uo], axis=-1)
 
 
 def upsample_flat_packed_parts(xf: jax.Array, h: int, w: int):

@@ -333,10 +333,10 @@ class TestFlatKernelVariants:
             assert rel < 2e-5, (name, rel)
 
     @pytest.mark.parametrize(
-        "shape,ca,cb,c,rt", [((2, 32, 32, 12), 8, 4, 8, 8),
-                             ((1, 16, 48, 6), 2, 4, 8, 8)]
+        "shape,ca,cb,c", [((2, 32, 32, 12), 8, 4, 8),
+                          ((1, 16, 48, 6), 2, 4, 8)]
     )
-    def test_flat_dual_input_matches_concat(self, shape, ca, cb, c, rt):
+    def test_flat_dual_input_matches_concat(self, shape, ca, cb, c):
         """The dual-input kernels (decoder upsample + skip fed as separate
         streams, concat in VMEM) must equal the single-input flat kernels on
         the concatenated input — forward and every gradient."""
