@@ -9,6 +9,18 @@ user-visible communication backend — shardings ARE the API.
 An optional ``tile`` axis is exposed for spatially-sharded halo inference
 (SURVEY.md section 5.7), the closest meaningful analog of context parallelism
 for this conv workload.
+
+Spatial parallelism for TRAINING is the second optional axis: a 2-D
+(``data``, ``space``) mesh shards image rows (the H axis of NHWC batches)
+over ``space``. The convs/pools stay ordinary XLA ops, so the SPMD
+partitioner inserts the stencil halo exchanges (collective-permutes of the
+1-row borders per 3x3 conv) and the global-pool psums automatically — the
+shardings are the whole API, there is no hand-written halo code to get wrong.
+Use it when the spatial extent, not the batch, is the scaling axis (whole
+EM frames at train time). The fused Pallas kernels are opaque custom calls
+the partitioner cannot split spatially, so spatial training runs the plain
+XLA conv path (the trainer forces ``PDA_PALLAS_CONV=0`` when the mesh has a
+``space`` axis).
 """
 
 from __future__ import annotations
@@ -21,6 +33,7 @@ from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
 DATA_AXIS = "data"
 TILE_AXIS = "tile"
+SPACE_AXIS = "space"
 
 
 def get_mesh(
@@ -37,9 +50,36 @@ def get_mesh(
     return Mesh(np.asarray(devices), (axis_name,))
 
 
+def get_mesh_2d(
+    n_data: int,
+    n_space: int,
+    *,
+    devices: Optional[Sequence[jax.Device]] = None,
+) -> Mesh:
+    """A 2-D (``data``, ``space``) mesh: batch x image-rows sharding.
+
+    ``n_data * n_space`` devices are taken in order; lay the ``space`` axis
+    along ICI neighbors (the default device order on a slice) so the per-conv
+    halo exchanges ride one hop.
+    """
+    if devices is None:
+        devices = jax.devices()
+    n = n_data * n_space
+    if len(devices) < n:
+        raise ValueError(f"need {n} devices, have {len(devices)}")
+    grid = np.asarray(devices[:n]).reshape(n_data, n_space)
+    return Mesh(grid, (DATA_AXIS, SPACE_AXIS))
+
+
 def batch_sharding(mesh: Mesh, ndim: int = 4, axis_name: str = DATA_AXIS) -> NamedSharding:
-    """Shard the leading (batch) axis over the mesh, replicate the rest."""
-    return NamedSharding(mesh, P(axis_name, *([None] * (ndim - 1))))
+    """Shard the leading (batch) axis over ``data``; on a mesh with a
+    ``space`` axis, rank>=3 arrays (NHWC / NHW images) also shard their
+    row (H) axis over it. Everything else is replicated."""
+    spec = [None] * ndim
+    spec[0] = axis_name
+    if SPACE_AXIS in mesh.axis_names and ndim >= 3:
+        spec[1] = SPACE_AXIS
+    return NamedSharding(mesh, P(*spec))
 
 
 def replicated(mesh: Mesh) -> NamedSharding:

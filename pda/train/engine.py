@@ -26,6 +26,7 @@ Key engine differences vs the reference (deliberate, TPU-first):
 
 from __future__ import annotations
 
+import os
 import time
 from typing import Any, Callable, Iterable, Optional, Sequence
 
@@ -89,6 +90,12 @@ class Trainer:
         self.tx = optimizer if optimizer is not None else adam(learning_rate)
         self.lr_scheduler = lr_scheduler
         self.mesh = mesh
+        if mesh is not None and "space" in getattr(mesh, "axis_names", ()):
+            # spatially-sharded training partitions the convs through XLA's
+            # SPMD partitioner; the fused Pallas kernels are opaque custom
+            # calls it cannot split, so pin the plain XLA conv path before
+            # the first trace (see pda/parallel/mesh.py module docstring)
+            os.environ.setdefault("PDA_PALLAS_CONV", "0")
         self.save_root = save_root
         self.ckpt_dir = checkpoint_dir(name, save_root)
         self.logger = (

@@ -11,7 +11,13 @@ import numpy as np
 import pytest
 
 from pda.models import ProbabilisticUnet
-from pda.parallel import batch_sharding, get_mesh, replicated, shard_batch
+from pda.parallel import (
+    batch_sharding,
+    get_mesh,
+    get_mesh_2d,
+    replicated,
+    shard_batch,
+)
 from pda.train.optim import adam
 from pda.train.state import create_train_state
 from pda.train.steps import (
@@ -114,6 +120,68 @@ class TestMeshEquivalence:
         # teacher stays replicated and finite
         t0 = jax.tree_util.tree_leaves(state.teacher_params)[0]
         assert bool(jnp.all(jnp.isfinite(t0)))
+
+
+class TestSpatialMesh:
+    """2-D (data, space) mesh: image rows sharded over devices, the SPMD
+    partitioner inserting the conv-stencil halo exchanges (mesh.py docstring).
+    The scaling axis is spatial extent, not batch."""
+
+    def _losses(self, batch, meshes):
+        x, y = batch
+        losses = {}
+        for label, mesh in meshes:
+            model = _model()
+            tx = adam(1e-3)
+            state = jax.device_put(_state(model, tx), replicated(mesh))
+            step = jax.jit(
+                make_supervised_punet_step(model, tx), donate_argnums=0
+            )
+            xb = jax.device_put(x, batch_sharding(mesh))
+            yb = jax.device_put(y, batch_sharding(mesh))
+            state, metrics = step(state, xb, yb)
+            losses[label] = float(metrics["loss"])
+        return losses
+
+    def test_mesh2d_shards_batch_and_rows(self):
+        from jax.sharding import PartitionSpec as P
+
+        mesh = get_mesh_2d(2, 4)
+        assert mesh.axis_names == ("data", "space")
+        assert batch_sharding(mesh).spec == P("data", "space", None, None)
+        # scalars/vectors never shard rows
+        assert batch_sharding(mesh, ndim=1).spec == P("data")
+
+    def test_spatial_loss_matches_single_device(self, batch8):
+        """Same global batch, same params: the row-sharded step must produce
+        the single-device loss (the halo exchanges are exact, not approximate
+        boundary handling)."""
+        losses = self._losses(
+            batch8,
+            [("1", get_mesh(1)), ("2x4", get_mesh_2d(2, 4)),
+             ("1x8", get_mesh_2d(1, 8))],
+        )
+        ref = losses["1"]
+        for label, v in losses.items():
+            assert abs(v - ref) / abs(ref) < 1e-4, losses
+
+    def test_mean_teacher_step_on_spatial_mesh(self, batch8):
+        """The full self-training step (teacher MC + consensus + EMA) runs
+        row-sharded end to end."""
+        x, _ = batch8
+        mesh = get_mesh_2d(2, 4)
+        model = _model(masking=True)
+        tx = adam(1e-3)
+        state = jax.device_put(
+            _state(model, tx, with_teacher=True), replicated(mesh)
+        )
+        step = jax.jit(
+            make_mean_teacher_step(model, tx, do_consensus_masking=True),
+            donate_argnums=0,
+        )
+        b = shard_batch(mesh, (x, x, x, x))
+        state, metrics = step(state, *b)
+        assert np.isfinite(float(metrics["loss"]))
 
 
 class TestShardedInference:
