@@ -22,6 +22,7 @@ from pda.eval import run_dice_evaluation
 from pda.experiments import livecell_punet
 from pda.infer import punet_prediction
 from pda.models.punet import init_params_cpu
+from pda.experiments.common import mesh_from_arg
 from pda.train import (
     PUNetTrainer,
     ReduceLROnPlateau,
@@ -50,6 +51,7 @@ def do_punet_training(args, patch_shape=(512, 512)):
             lr_scheduler=ReduceLROnPlateau(factor=0.9, patience=10),
             save_root=args.save_root,
             log_image_interval=100,
+            mesh=mesh_from_arg(args),
         )
         trainer.fit(args.iterations or 100_000)
 
@@ -117,4 +119,6 @@ if __name__ == "__main__":
     parser.add_argument("--pred_path", type=str, default="./predictions/livecell/")
     parser.add_argument("--save_root", type=str, default=None)
     parser.add_argument("--iterations", type=int, default=None)
+    parser.add_argument("--mesh", type=str, default=None,
+                        help="Device mesh: auto | data=N | data=N,space=M")
     main(parser.parse_args())

@@ -21,6 +21,7 @@ from pda.eval import run_dice_evaluation
 from pda.infer import unet_prediction
 from pda.models import UNet2d
 from pda.models.punet import init_params_cpu
+from pda.experiments.common import mesh_from_arg
 from pda.train import UNetTrainer, checkpoint_dir, checkpoint_exists, load_params
 
 
@@ -49,6 +50,7 @@ def do_unet_training(args, patch_shape=(256, 256)):
             learning_rate=1e-4,
             save_root=args.save_root,
             log_image_interval=1000,
+            mesh=mesh_from_arg(args),
         )
         trainer.fit(args.iterations or 100_000)
 
@@ -107,4 +109,6 @@ if __name__ == "__main__":
     parser.add_argument("--pred_path", type=str, default="./predictions/livecell/")
     parser.add_argument("--save_root", type=str, default=None)
     parser.add_argument("--iterations", type=int, default=None)
+    parser.add_argument("--mesh", type=str, default=None,
+                        help="Device mesh: auto | data=N | data=N,space=M")
     main(parser.parse_args())

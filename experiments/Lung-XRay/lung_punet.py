@@ -20,6 +20,7 @@ from pda.experiments.lung import (
     test_image_glob,
 )
 from pda.infer import punet_prediction
+from pda.experiments.common import mesh_from_arg
 from pda.train import (
     PUNetTrainer,
     ReduceLROnPlateau,
@@ -41,6 +42,7 @@ def do_punet_training(args):
             lr_scheduler=ReduceLROnPlateau(factor=0.9, patience=10),
             save_root=args.save_root,
             log_image_interval=100,
+            mesh=mesh_from_arg(args),
         )
         trainer.fit(args.iterations or 100_000)
 

@@ -24,6 +24,7 @@ from pda.experiments.lung import (
 from pda.infer import unet_prediction
 from pda.models import UNet2d
 from pda.models.punet import init_params_cpu
+from pda.experiments.common import mesh_from_arg
 from pda.train import UNetTrainer, checkpoint_dir, checkpoint_exists, load_params
 
 
@@ -45,6 +46,7 @@ def do_unet_training(args):
             learning_rate=1e-5,
             save_root=args.save_root,
             log_image_interval=100,
+            mesh=mesh_from_arg(args),
         )
         trainer.fit(args.iterations or 100_000)
 

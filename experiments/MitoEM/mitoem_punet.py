@@ -22,6 +22,7 @@ from pda.eval import run_dice_evaluation
 from pda.experiments import livecell_punet as mitoem_punet, standard_parser
 from pda.infer import punet_prediction
 from pda.models.punet import init_params_cpu
+from pda.experiments.common import mesh_from_arg
 from pda.train import (
     PUNetTrainer,
     ReduceLROnPlateau,
@@ -44,6 +45,7 @@ def do_punet_training(args):
         lr_scheduler=ReduceLROnPlateau(factor=0.9, patience=10),
         save_root=args.save_root,
         log_image_interval=1000,
+        mesh=mesh_from_arg(args),
     )
     trainer.fit(args.iterations or 100_000)
 

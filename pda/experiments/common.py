@@ -152,7 +152,40 @@ def standard_parser(description: str, extra_flags=()) -> argparse.ArgumentParser
     parser.add_argument("--save_root", type=str, default=None)
     parser.add_argument("--iterations", type=int, default=None,
                         help="Override the default iteration budget")
+    parser.add_argument("--mesh", type=str, default=None,
+                        help="Device mesh (additive over the reference CLI): "
+                             "'auto' (all devices data-parallel), 'data=N', "
+                             "or 'data=N,space=M' (M-way image-row sharding)")
     return parser
+
+
+def mesh_from_arg(args):
+    """Build the device mesh requested by ``--mesh`` (or the ``PDA_MESH``
+    env var for the thin reference-mirroring CLIs). None -> single device.
+
+    Specs: ``auto`` = all local devices on the ``data`` axis; ``data=N``;
+    ``data=N,space=M`` = 2-D mesh that also shards image rows (see
+    pda/parallel/mesh.py).
+    """
+    import os
+
+    spec = getattr(args, "mesh", None) or os.environ.get("PDA_MESH")
+    if not spec:
+        return None
+    import jax
+
+    from ..parallel import get_mesh, get_mesh_2d
+
+    if spec == "auto":
+        return get_mesh(len(jax.devices()))
+    axes = dict(kv.split("=", 1) for kv in spec.split(","))
+    n_data = int(axes.pop("data", 1))
+    n_space = int(axes.pop("space", 1))
+    if axes:
+        raise ValueError(f"unknown mesh axes in --mesh: {sorted(axes)}")
+    if n_space > 1:
+        return get_mesh_2d(n_data, n_space)
+    return get_mesh(n_data)
 
 
 def lung_data_path(root_input_dir: str, domain: str) -> str:

@@ -50,6 +50,7 @@ from .common import (
     da_name,
     fm_strong_augmentations,
     livecell_punet,
+    mesh_from_arg,
     weak_augmentations,
 )
 
@@ -89,6 +90,7 @@ def train(args, method: str):
                 lr_scheduler=sched,
                 save_root=args.save_root,
                 log_image_interval=10,
+                mesh=mesh_from_arg(args),
             )
 
             if method in ("mean-teacher", "fixmatch"):

@@ -25,7 +25,13 @@ from ..train import (
     checkpoint_exists,
     load_params,
 )
-from .common import da_name, lung_data_path, lung_punet, weak_augmentations
+from .common import (
+    da_name,
+    lung_data_path,
+    lung_punet,
+    mesh_from_arg,
+    weak_augmentations,
+)
 
 LUNG_DOMAINS = ["jsrt1", "jsrt2", "nih", "montgomery"]
 
@@ -95,6 +101,7 @@ def da_train(args, method: str):
                     save_root=args.save_root, log_image_interval=10,
                     ckpt_model=src_ckpt, ckpt_teacher=src_ckpt,
                     do_consensus_masking=args.masking,
+                    mesh=mesh_from_arg(args),
                 )
                 iters = 10_000
             elif method == "adamt":
@@ -105,6 +112,7 @@ def da_train(args, method: str):
                     learning_rate=1e-5, lr_scheduler=sched,
                     save_root=args.save_root, log_image_interval=10,
                     do_consensus_masking=args.masking,
+                    mesh=mesh_from_arg(args),
                 )
                 iters = 100_000
             else:

@@ -32,7 +32,12 @@ from ..train import (
     checkpoint_exists,
     load_params,
 )
-from .common import da_name, livecell_punet as mitoem_punet, weak_augmentations
+from .common import (
+    da_name,
+    livecell_punet as mitoem_punet,
+    mesh_from_arg,
+    weak_augmentations,
+)
 
 EM_TYPES = ["vnc", "lucchi", "urocell"]
 
@@ -64,6 +69,7 @@ def train(args, method: str, common_mod):
             lr_scheduler=sched,
             save_root=args.save_root,
             log_image_interval=100,
+            mesh=mesh_from_arg(args),
         )
 
         if method in ("mean-teacher", "fixmatch"):

@@ -152,6 +152,30 @@ class TestSpatialMesh:
         # scalars/vectors never shard rows
         assert batch_sharding(mesh, ndim=1).spec == P("data")
 
+    def test_mesh_from_arg_specs(self, monkeypatch):
+        """--mesh / PDA_MESH spec parsing (experiment CLI surface)."""
+        import argparse
+
+        from pda.experiments.common import mesh_from_arg, standard_parser
+
+        monkeypatch.delenv("PDA_MESH", raising=False)
+        p = standard_parser("t")
+        assert mesh_from_arg(p.parse_args([])) is None
+        m = mesh_from_arg(p.parse_args(["--mesh", "data=2,space=4"]))
+        assert m.axis_names == ("data", "space") and m.shape == {
+            "data": 2, "space": 4,
+        }
+        m = mesh_from_arg(p.parse_args(["--mesh", "data=8"]))
+        assert m.axis_names == ("data",)
+        m = mesh_from_arg(p.parse_args(["--mesh", "auto"]))
+        assert m.size == len(jax.devices())
+        # env fallback for the thin reference-mirroring CLIs
+        monkeypatch.setenv("PDA_MESH", "data=1,space=8")
+        m = mesh_from_arg(argparse.Namespace())
+        assert m.shape == {"data": 1, "space": 8}
+        with pytest.raises(ValueError):
+            mesh_from_arg(p.parse_args(["--mesh", "data=2,bogus=2"]))
+
     def test_spatial_loss_matches_single_device(self, batch8):
         """Same global batch, same params: the row-sharded step must produce
         the single-device loss (the halo exchanges are exact, not approximate
@@ -239,3 +263,31 @@ class TestTrainerOnMesh:
         m = t.validate()
         assert np.isfinite(m["loss"])
         assert os.path.exists(tmp_path / "checkpoints" / "mesh-trainer" / "latest.ckpt")
+
+    def test_trainer_fit_with_spatial_mesh(self, tmp_path, monkeypatch):
+        """Trainer over a 2-D (data, space) mesh: rows sharded through fit/
+        validate, and the engine pins the XLA conv path (engine.py guard)."""
+        import os
+
+        from pda.data import ImageCollectionDataset, Loader
+        from pda.data.synthetic import make_dataset_arrays
+        from pda.train import PUNetTrainer
+
+        monkeypatch.delenv("PDA_PALLAS_CONV", raising=False)
+        raws, labels = make_dataset_arrays(8, (64, 64))
+        ds = ImageCollectionDataset(raws, labels, patch_shape=(32, 32))
+        try:
+            t = PUNetTrainer(
+                "space-trainer", _model(),
+                Loader(ds, 8, seed=0), Loader(ds, 8, seed=1),
+                learning_rate=1e-3, save_root=str(tmp_path), logger=False,
+                mesh=get_mesh_2d(2, 4),
+            )
+            assert os.environ["PDA_PALLAS_CONV"] == "0"
+            t.fit(2)
+            m = t.validate()
+        finally:
+            # the engine guard wrote the var; don't leak it to other tests
+            os.environ.pop("PDA_PALLAS_CONV", None)
+        assert np.isfinite(m["loss"])
+        assert os.path.exists(tmp_path / "checkpoints" / "space-trainer" / "latest.ckpt")
