@@ -97,6 +97,19 @@ def shard_batch(mesh: Mesh, batch, axis_name: str = DATA_AXIS):
         x = np.asarray(x)
         if x.ndim == 0:
             return jax.device_put(x, replicated(mesh))
+        n_data = mesh.shape.get(axis_name, 1)
+        if x.shape[0] % n_data:
+            raise ValueError(
+                f"batch size {x.shape[0]} is not divisible by the mesh's "
+                f"'{axis_name}' axis ({n_data}); pick a batch size that is "
+                f"a multiple of it (watch out for a short final batch)"
+            )
+        n_space = mesh.shape.get(SPACE_AXIS, 1)
+        if x.ndim >= 3 and x.shape[1] % n_space:
+            raise ValueError(
+                f"image height {x.shape[1]} is not divisible by the mesh's "
+                f"'{SPACE_AXIS}' axis ({n_space})"
+            )
         return jax.device_put(x, batch_sharding(mesh, x.ndim, axis_name))
 
     return jax.tree_util.tree_map(_put, batch)

@@ -127,6 +127,54 @@ class TestSupervisedTrainers:
             jax.tree_util.tree_leaves(t2.state.params)[0], params_before
         )
 
+    def test_checkpoint_portable_across_meshes(self, tmp_path):
+        """A checkpoint written by a mesh-sharded trainer restores on a
+        single device and vice versa (checkpoints store host arrays; the
+        mesh is a runtime property, not a serialized one)."""
+        import os
+
+        from pda.parallel import get_mesh, get_mesh_2d
+
+        # batch size must divide the data axis (2, then 8 below)
+        raws, labels = make_dataset_arrays(8, (64, 64))
+        ds = ImageCollectionDataset(raws, labels, patch_shape=PATCH)
+        train, val = Loader(ds, 8, seed=0), Loader(ds, 8, seed=1)
+        had_flag = "PDA_PALLAS_CONV" in os.environ
+        try:
+            t = PUNetTrainer(
+                "test-mesh-ckpt", punet(), train, val,
+                learning_rate=1e-3, save_root=str(tmp_path), logger=False,
+                mesh=get_mesh_2d(2, 4),
+            )
+            t.fit(2)
+        finally:
+            if not had_flag:  # engine's space-axis guard wrote it
+                os.environ.pop("PDA_PALLAS_CONV", None)
+        params_before = np.asarray(
+            jax.tree_util.tree_leaves(t.state.params)[0]
+        )
+
+        # mesh-trained ckpt -> single device
+        t2 = PUNetTrainer(
+            "test-mesh-ckpt", punet(), train, val,
+            learning_rate=1e-3, save_root=str(tmp_path), logger=False,
+        )
+        t2.load_checkpoint("latest")
+        assert int(t2.state.step) == 2
+        np.testing.assert_allclose(
+            np.asarray(jax.tree_util.tree_leaves(t2.state.params)[0]),
+            params_before,
+        )
+
+        # same ckpt -> a different (1-D data) mesh, and training continues
+        t3 = PUNetTrainer(
+            "test-mesh-ckpt", punet(), train, val,
+            learning_rate=1e-3, save_root=str(tmp_path), logger=False,
+            mesh=get_mesh(8),
+        )
+        t3.fit(4, load_from_checkpoint="latest")
+        assert int(t3.state.step) == 4
+
     def test_resume_continues_iterations(self, tmp_path):
         train, val = sup_loaders(tmp_path)
         t = PUNetTrainer(
