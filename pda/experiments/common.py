@@ -167,8 +167,6 @@ def mesh_from_arg(args):
     ``data=N,space=M`` = 2-D mesh that also shards image rows (see
     pda/parallel/mesh.py).
     """
-    import os
-
     spec = getattr(args, "mesh", None) or os.environ.get("PDA_MESH")
     if not spec:
         return None
@@ -178,9 +176,17 @@ def mesh_from_arg(args):
 
     if spec == "auto":
         return get_mesh(len(jax.devices()))
-    axes = dict(kv.split("=", 1) for kv in spec.split(","))
-    n_data = int(axes.pop("data", 1))
-    n_space = int(axes.pop("space", 1))
+    axes = {}
+    for token in spec.split(","):
+        key, eq, value = token.partition("=")
+        if not eq or key in axes or not value.isdigit() or int(value) < 1:
+            raise ValueError(
+                f"bad --mesh spec {spec!r}: expected "
+                "'auto', 'data=N', or 'data=N,space=M' (N, M >= 1)"
+            )
+        axes[key] = int(value)
+    n_data = axes.pop("data", 1)
+    n_space = axes.pop("space", 1)
     if axes:
         raise ValueError(f"unknown mesh axes in --mesh: {sorted(axes)}")
     if n_space > 1:

@@ -19,8 +19,8 @@ shardings are the whole API, there is no hand-written halo code to get wrong.
 Use it when the spatial extent, not the batch, is the scaling axis (whole
 EM frames at train time). The fused Pallas kernels are opaque custom calls
 the partitioner cannot split spatially, so spatial training runs the plain
-XLA conv path (the trainer forces ``PDA_PALLAS_CONV=0`` when the mesh has a
-``space`` axis).
+XLA conv path (the trainer pins ``PDA_PALLAS_CONV=0`` while fit/validate
+trace on a mesh with a ``space`` axis, and restores it afterwards).
 """
 
 from __future__ import annotations
@@ -46,6 +46,10 @@ def get_mesh(
     if devices is None:
         devices = jax.devices()
     if n_devices is not None:
+        if len(devices) < n_devices:
+            raise ValueError(
+                f"need {n_devices} devices, have {len(devices)}"
+            )
         devices = devices[:n_devices]
     return Mesh(np.asarray(devices), (axis_name,))
 

@@ -28,13 +28,14 @@ from __future__ import annotations
 
 import os
 import time
+from contextlib import contextmanager
 from typing import Any, Callable, Iterable, Optional, Sequence
 
 import jax
 import jax.numpy as jnp
 import numpy as np
 
-from ..parallel.mesh import batch_sharding, replicated, shard_batch
+from ..parallel.mesh import SPACE_AXIS, batch_sharding, replicated, shard_batch
 from . import steps as steps_lib
 from .checkpoint import (
     BEST,
@@ -90,12 +91,6 @@ class Trainer:
         self.tx = optimizer if optimizer is not None else adam(learning_rate)
         self.lr_scheduler = lr_scheduler
         self.mesh = mesh
-        if mesh is not None and "space" in getattr(mesh, "axis_names", ()):
-            # spatially-sharded training partitions the convs through XLA's
-            # SPMD partitioner; the fused Pallas kernels are opaque custom
-            # calls it cannot split, so pin the plain XLA conv path before
-            # the first trace (see pda/parallel/mesh.py module docstring)
-            os.environ.setdefault("PDA_PALLAS_CONV", "0")
         self.save_root = save_root
         self.ckpt_dir = checkpoint_dir(name, save_root)
         self.logger = (
@@ -166,6 +161,33 @@ class Trainer:
             return shard_batch(self.mesh, batch)
         return jax.tree_util.tree_map(jnp.asarray, batch)
 
+    @contextmanager
+    def _conv_path_pin(self):
+        """On a mesh with a ``space`` axis, pin the plain XLA conv path for
+        the duration of any tracing (fit/validate): the fused Pallas kernels
+        are opaque custom calls XLA's SPMD partitioner cannot split
+        spatially (pda/parallel/mesh.py module docstring). The env var is
+        read at trace time, FORCED to 0 here even if the caller exported
+        PDA_PALLAS_CONV=1, and restored on exit so later non-spatial work
+        in the same process keeps the fused-kernel fast path."""
+        if self.mesh is None or SPACE_AXIS not in self.mesh.axis_names:
+            yield
+            return
+        prev = os.environ.get("PDA_PALLAS_CONV")
+        if prev == "1":
+            print(
+                "note: the mesh's 'space' axis forces the XLA conv path; "
+                "PDA_PALLAS_CONV=1 is ignored for this trainer"
+            )
+        os.environ["PDA_PALLAS_CONV"] = "0"
+        try:
+            yield
+        finally:
+            if prev is None:
+                os.environ.pop("PDA_PALLAS_CONV", None)
+            else:
+                os.environ["PDA_PALLAS_CONV"] = prev
+
     # -- fit loop --------------------------------------------------------------
 
     def fit(
@@ -179,6 +201,20 @@ class Trainer:
         torch_em DefaultTrainer.fit semantics. ``overwrite_training=False``
         resumes from the latest checkpoint if one exists (the reference's
         resume-style flag, e.g. mitoem_punet.py:49)."""
+        with self._conv_path_pin():
+            return self._fit_impl(
+                iterations,
+                load_from_checkpoint=load_from_checkpoint,
+                overwrite_training=overwrite_training,
+            )
+
+    def _fit_impl(
+        self,
+        iterations: int,
+        *,
+        load_from_checkpoint: Optional[str],
+        overwrite_training: bool,
+    ):
         self.initialize()
         if load_from_checkpoint is None and not overwrite_training and \
                 checkpoint_exists(self.ckpt_dir, LATEST):
@@ -246,6 +282,10 @@ class Trainer:
     def validate(self) -> dict:
         # accumulate metric scalars ON DEVICE and fetch once at the end — a
         # per-batch float() would force a host sync per validation step
+        with self._conv_path_pin():
+            return self._validate_impl()
+
+    def _validate_impl(self) -> dict:
         sums: dict = {}
         n = 0
         for batch in self.val_batches():

@@ -175,6 +175,10 @@ class TestSpatialMesh:
         assert m.shape == {"data": 1, "space": 8}
         with pytest.raises(ValueError):
             mesh_from_arg(p.parse_args(["--mesh", "data=2,bogus=2"]))
+        for bad in ("8", "data", "data=0,space=2", "data=2,data=4",
+                    "data=-1", "data=999"):
+            with pytest.raises(ValueError):
+                mesh_from_arg(p.parse_args(["--mesh", bad]))
 
     def test_spatial_loss_matches_single_device(self, batch8):
         """Same global batch, same params: the row-sharded step must produce
@@ -276,18 +280,15 @@ class TestTrainerOnMesh:
         monkeypatch.delenv("PDA_PALLAS_CONV", raising=False)
         raws, labels = make_dataset_arrays(8, (64, 64))
         ds = ImageCollectionDataset(raws, labels, patch_shape=(32, 32))
-        try:
-            t = PUNetTrainer(
-                "space-trainer", _model(),
-                Loader(ds, 8, seed=0), Loader(ds, 8, seed=1),
-                learning_rate=1e-3, save_root=str(tmp_path), logger=False,
-                mesh=get_mesh_2d(2, 4),
-            )
-            assert os.environ["PDA_PALLAS_CONV"] == "0"
-            t.fit(2)
-            m = t.validate()
-        finally:
-            # the engine guard wrote the var; don't leak it to other tests
-            os.environ.pop("PDA_PALLAS_CONV", None)
+        t = PUNetTrainer(
+            "space-trainer", _model(),
+            Loader(ds, 8, seed=0), Loader(ds, 8, seed=1),
+            learning_rate=1e-3, save_root=str(tmp_path), logger=False,
+            mesh=get_mesh_2d(2, 4),
+        )
+        t.fit(2)
+        m = t.validate()
+        # the conv-path pin is scoped to fit/validate — no process-global leak
+        assert "PDA_PALLAS_CONV" not in os.environ
         assert np.isfinite(m["loss"])
         assert os.path.exists(tmp_path / "checkpoints" / "space-trainer" / "latest.ckpt")

@@ -131,25 +131,18 @@ class TestSupervisedTrainers:
         """A checkpoint written by a mesh-sharded trainer restores on a
         single device and vice versa (checkpoints store host arrays; the
         mesh is a runtime property, not a serialized one)."""
-        import os
-
         from pda.parallel import get_mesh, get_mesh_2d
 
         # batch size must divide the data axis (2, then 8 below)
         raws, labels = make_dataset_arrays(8, (64, 64))
         ds = ImageCollectionDataset(raws, labels, patch_shape=PATCH)
         train, val = Loader(ds, 8, seed=0), Loader(ds, 8, seed=1)
-        had_flag = "PDA_PALLAS_CONV" in os.environ
-        try:
-            t = PUNetTrainer(
-                "test-mesh-ckpt", punet(), train, val,
-                learning_rate=1e-3, save_root=str(tmp_path), logger=False,
-                mesh=get_mesh_2d(2, 4),
-            )
-            t.fit(2)
-        finally:
-            if not had_flag:  # engine's space-axis guard wrote it
-                os.environ.pop("PDA_PALLAS_CONV", None)
+        t = PUNetTrainer(
+            "test-mesh-ckpt", punet(), train, val,
+            learning_rate=1e-3, save_root=str(tmp_path), logger=False,
+            mesh=get_mesh_2d(2, 4),
+        )
+        t.fit(2)
         params_before = np.asarray(
             jax.tree_util.tree_leaves(t.state.params)[0]
         )
