@@ -94,12 +94,12 @@ def pool_flat(xf: jax.Array, h: int, w: int) -> jax.Array:
     # reshape-sum pool over (rows, flat col pairs); valid pairs stay aligned
     # because MARGIN and W are even. Pooled col j lands at input col pair
     # (2j, 2j+1) => valid pooled cols start at MARGIN/2. (A reduce_window
-    # with a generic `add` computation has no autodiff rule.)
+    # with a generic `add` computation has no autodiff rule.) The reduction
+    # must be an axis-sum, NOT four explicit slices: reduce_sum's transpose
+    # is ONE broadcast, while sliced adds transpose into four full-tensor
+    # pad+add passes (measured ~1.5 ms/step of pure layout traffic).
     x6 = xf.reshape(b, h // 2, 2, wp // 2, 2, c)
-    p = (
-        x6[:, :, 0, :, 0] + x6[:, :, 0, :, 1]
-        + x6[:, :, 1, :, 0] + x6[:, :, 1, :, 1]
-    ) * jnp.asarray(0.25, xf.dtype)
+    p = jnp.sum(x6, axis=(2, 4)) * jnp.asarray(0.25, xf.dtype)
     out = _place_cols(p, w // 2, wp2, MARGIN // 2)
     return out.reshape(b, (h // 2) * wp2, c)
 
@@ -113,7 +113,7 @@ def pool_flat_packed(xf: jax.Array, h: int, w: int) -> jax.Array:
     wpp = packed_wpp(w)
     wp2 = canvas_wp(w // 2)
     x4 = xf.reshape(b, h // 2, 2, wpp, c2)
-    rows = x4[:, :, 0] + x4[:, :, 1]
+    rows = jnp.sum(x4, axis=2)  # axis-sum: transpose is a broadcast (above)
     lanes = rows[..., :c] + rows[..., c:]
     p = lanes * jnp.asarray(0.25, xf.dtype)
     # pooled col j sits at packed col j + MARGIN/2
