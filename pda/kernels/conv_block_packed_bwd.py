@@ -51,6 +51,7 @@ from jax.experimental.pallas import tpu as pltpu
 from .conv_block_packed import (
     HALO_IMG_ROWS,
     MARGIN,
+    PAD_TAIL,
     _make_img_mask,
     _make_stencil,
     assemble_band,
@@ -87,11 +88,18 @@ def _kernel(
     need_dx: bool = True,
     recompute: bool = False,
     dec_parts=None,  # (cu, cs): x is (ue, uo, skip) streams, dec_perm layout
+    g_mode: str = "full",  # "full" | "pooled" | "both" — cotangent sources
 ):
     flat_parts = 3 if dec_parts else 1
     if flat_io:
         x_refs = allrefs[: 3 * flat_parts]
-        (gu_ref, gc_ref, gd_ref, *refs) = allrefs[3 * flat_parts:]
+        refs = allrefs[3 * flat_parts:]
+        gu_ref = gc_ref = gd_ref = None
+        gpu_ref = gpc_ref = gpd_ref = None
+        if g_mode in ("full", "both"):
+            (gu_ref, gc_ref, gd_ref, *refs) = refs
+        if g_mode in ("pooled", "both"):
+            (gpu_ref, gpc_ref, gpd_ref, *refs) = refs
     else:
         (xc_ref, xh_ref, gc_ref, gh_ref, *refs) = allrefs
     (h3u_ref, h3c_ref, h3d_ref, *refs) = refs
@@ -121,7 +129,41 @@ def _kernel(
             for i in range(flat_parts)
         ]
         x = xs[0] if flat_parts == 1 else jnp.concatenate(xs, axis=-1)
-        g = assemble_flat_band(gu_ref, gc_ref, gd_ref, n, nb, dtype)
+        g = None
+        if g_mode in ("full", "both"):
+            g = assemble_flat_band(gu_ref, gc_ref, gd_ref, n, nb, dtype)
+        if g_mode in ("pooled", "both"):
+            # The consumer of this block's output is a 2x2 avg pool: its
+            # transposed op (broadcast rows+lanes, x0.25, ring re-zero) runs
+            # HERE on the pooled cotangent instead of as an XLA broadcast —
+            # the band reads (h/2, C) pooled rows (1/4 of the full-res
+            # stream) and expands in VMEM with free leading-dim reshapes.
+            c2 = h3c_ref.shape[-1]
+            gp = assemble_flat_band(gpu_ref, gpc_ref, gpd_ref, n, nb, dtype)
+            # pooled band rows [n*rt/2 - 4, n*rt/2 + rt/2 + 4); keep the
+            # margin-2 window that expands to the full band's margin-4 rows
+            gsel = gp[2 * wpp : (2 + rt // 2 + 4) * wpp, :]
+            g3 = gsel.reshape(rt // 2 + 4, wpp, c2 // 2)
+            g4 = jnp.broadcast_to(
+                g3[:, None], (rt // 2 + 4, 2, wpp, c2 // 2)
+            )
+            gfull = g4.reshape((rt + 8) * wpp, c2 // 2)
+            gpk = jnp.concatenate([gfull, gfull], axis=-1).astype(
+                jnp.float32
+            ) * 0.25
+            # pool wrote pooled col j_packed+2 <- packed col pair j_packed:
+            # the transpose reads the pooled flat 2 cols ahead
+            gpk = jnp.concatenate(
+                [gpk[2:], jnp.zeros((2, c2), jnp.float32)], axis=0
+            )
+            # the pool's pad-transpose drops ring cols; re-zero them (and
+            # any clamped edge rows) so g keeps the zero-ring contract
+            pool_mask = _make_img_mask(wpp, rt, h_img, w_img)
+            gpk = jnp.where(pool_mask(n, (rt + 8) * wpp, 0), gpk, 0.0)
+            gexp = jnp.concatenate(
+                [gpk.astype(dtype), jnp.zeros((PAD_TAIL, c2), dtype)], axis=0
+            )
+            g = gexp if g is None else (g + gexp).astype(dtype)
     else:
         x = assemble_band(xc_ref, xh_ref, dtype)
         g = assemble_band(gc_ref, gh_ref, dtype)
@@ -373,6 +415,7 @@ def conv_block_packed_bwd_flat(
     interpret: bool = False,
     need_dx: bool = True,
     recompute: bool = False,
+    gpf: jax.Array = None,  # (B, (H/2)*wpp, C) pooled-consumer cotangent
 ):
     """Fully flat packed backward: x, g and the saved activations all stream
     as margin-0 packed flats, and dx comes back as one too (the kernel's
@@ -381,7 +424,16 @@ def conv_block_packed_bwd_flat(
 
     ``recompute=True`` recomputes h1/h2 in-kernel from the x band (pass
     h1f=h2f=None and the forward biases b1/b2). ``need_dx=False`` skips the
-    input-cotangent chain entirely and returns dxf=None."""
+    input-cotangent chain entirely and returns dxf=None.
+
+    ``gpf`` is the cotangent arriving through a 2x2 avg pool of this block's
+    output (the unpacked margin-0 flat at the pooled geometry, which shares
+    this kernel's row stride: packed_wpp(w) == canvas_wp(w//2) at the
+    pipeline geometries). The pool's transpose (row/lane broadcast, x0.25,
+    ring re-zero) runs in-kernel, so the XLA broadcast AND the full-res
+    cotangent stream never exist when ``gf=None`` (pool-only consumers:
+    the prior/posterior encoder chains). Pass both gf and gpf for a block
+    whose output also has a direct consumer (the backbone's skip)."""
     b = xf.shape[0]
     cin = xf.shape[-1] // 2
     c = w1.shape[-1]
@@ -390,10 +442,16 @@ def conv_block_packed_bwd_flat(
     nb = h // rt
     wpp = packed_wpp(w)
     dtype = xf.dtype
+    assert gf is not None or gpf is not None
+    g_mode = ("both" if gf is not None else "pooled") if gpf is not None \
+        else "full"
+    if gpf is not None:
+        assert rt % 8 == 0 and gpf.shape[1] == (h // 2) * wpp, (
+            gpf.shape, h, wpp)
 
     kernel = functools.partial(
         _kernel, rt=rt, wpp=wpp, h_img=h, w_img=w, dtype=dtype, flat_io=True,
-        need_dx=need_dx, recompute=recompute)
+        need_dx=need_dx, recompute=recompute, g_mode=g_mode)
     vmem = pl.BlockSpec(memory_space=pltpu.VMEM)
     xup, xcore, xdown = flat_views(rt, wpp, 2 * cin, nb)
     hup, hcore, hdown = flat_views(rt, wpp, 2 * c, nb)
@@ -414,9 +472,17 @@ def conv_block_packed_bwd_flat(
             jax.ShapeDtypeStruct((1, 1, 1, 2 * c), jnp.float32),
         )
 
-    in_specs = [xup, xcore, xdown, hup, hcore, hdown,  # x; g (2C lane spec)
-                hup, hcore, hdown]                     # h3
-    inputs = [xf, xf, xf, gf, gf, gf, h3f, h3f, h3f]
+    in_specs = [xup, xcore, xdown]
+    inputs = [xf, xf, xf]
+    if gf is not None:
+        in_specs += [hup, hcore, hdown]  # g (2C lane spec)
+        inputs += [gf, gf, gf]
+    if gpf is not None:
+        gpviews = flat_views(rt // 2, wpp, c, nb)
+        in_specs += list(gpviews)
+        inputs += [gpf, gpf, gpf]
+    in_specs += [hup, hcore, hdown]  # h3
+    inputs += [h3f, h3f, h3f]
     if recompute:
         from .conv_block_packed import pack_weights
 

@@ -566,6 +566,109 @@ def _conv3fp_bwd(h, w, res, g):
 conv3_relu_flat_packed.defvjp(_conv3fp_fwd, _conv3fp_bwd)
 
 
+# ---------------------------------------------------------------------------
+# Packed block + 2x2 avg pool as one differentiable op. The forward is
+# unchanged (kernel + the cheap XLA reshape-sum pool); the POOL'S TRANSPOSE
+# moves into the fused backward kernel: it reads the pooled cotangent (1/4
+# of the full-res stream) and broadcasts rows/lanes in VMEM, so the XLA
+# broadcast op and the full-res cotangent tensor never exist in HBM.
+# "pool" variant: the block output's ONLY consumer is the pool (prior/
+# posterior encoder chains). "with_pool" variant: the full-res output is
+# also consumed directly (the backbone's skip connection) — the backward
+# takes both cotangents and adds them in VMEM (also absorbing the XLA add).
+# ---------------------------------------------------------------------------
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(0, 1))
+def conv3_relu_flat_packed_pool(h, w, xf, w1, b1, w2, b2, w3, b3):
+    from . import flat_ops
+
+    return flat_ops.pool_flat_packed(
+        conv3_relu_flat_packed(h, w, xf, w1, b1, w2, b2, w3, b3), h, w
+    )
+
+
+def _conv3fpp_fwd(h, w, xf, w1, b1, w2, b2, w3, b3):
+    from . import flat_ops
+
+    outf, res = _conv3fp_fwd(h, w, xf, w1, b1, w2, b2, w3, b3)
+    return flat_ops.pool_flat_packed(outf, h, w), res
+
+
+def _conv3fpp_bwd(h, w, res, g):
+    from ..kernels.conv_block_packed_bwd import conv_block_packed_bwd_flat
+
+    xf, outf, h1f, h2f, w1, b1, w2, b2, w3 = res
+    cin = xf.shape[-1] // 2
+    rt = _packed_bwd_row_tile(h, cin, w1.shape[-1])
+    dxf, dw1, db1, dw2, db2, dw3, db3 = conv_block_packed_bwd_flat(
+        xf, outf, None, h1f, h2f,
+        h, w, w1, w2, w3, b1=b1, b2=b2, row_tile=rt,
+        need_dx=not _packed_input_block(cin),
+        gpf=g.astype(xf.dtype),
+    )
+    if dxf is None:
+        dxf = jnp.zeros_like(xf)
+    return dxf, dw1, db1, dw2, db2, dw3, db3
+
+
+conv3_relu_flat_packed_pool.defvjp(_conv3fpp_fwd, _conv3fpp_bwd)
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(0, 1))
+def conv3_relu_flat_packed_with_pool(h, w, xf, w1, b1, w2, b2, w3, b3):
+    from . import flat_ops
+
+    outf = conv3_relu_flat_packed(h, w, xf, w1, b1, w2, b2, w3, b3)
+    return outf, flat_ops.pool_flat_packed(outf, h, w)
+
+
+def _conv3fpw_fwd(h, w, xf, w1, b1, w2, b2, w3, b3):
+    from . import flat_ops
+
+    outf, res = _conv3fp_fwd(h, w, xf, w1, b1, w2, b2, w3, b3)
+    return (outf, flat_ops.pool_flat_packed(outf, h, w)), res
+
+
+def _conv3fpw_bwd(h, w, res, gs):
+    from ..kernels.conv_block_packed_bwd import conv_block_packed_bwd_flat
+
+    g_out, g_pool = gs
+    xf, outf, h1f, h2f, w1, b1, w2, b2, w3 = res
+    cin = xf.shape[-1] // 2
+    rt = _packed_bwd_row_tile(h, cin, w1.shape[-1])
+    dxf, dw1, db1, dw2, db2, dw3, db3 = conv_block_packed_bwd_flat(
+        xf, outf, g_out.astype(xf.dtype), h1f, h2f,
+        h, w, w1, w2, w3, b1=b1, b2=b2, row_tile=rt,
+        need_dx=not _packed_input_block(cin),
+        gpf=g_pool.astype(xf.dtype),
+    )
+    if dxf is None:
+        dxf = jnp.zeros_like(xf)
+    return dxf, dw1, db1, dw2, db2, dw3, db3
+
+
+conv3_relu_flat_packed_with_pool.defvjp(_conv3fpw_fwd, _conv3fpw_bwd)
+
+
+def packed_pool_out_eligible(h: int, w: int, cin: int, c: int) -> bool:
+    """Gate for the fused block+pool ops: the pooled (unpacked) flat must
+    share the packed flat's row stride so the in-kernel broadcast is a pure
+    reshape, and the backward row tile must split into whole pooled-row
+    view blocks."""
+    from ..kernels.conv_block import canvas_wp
+    from ..kernels.conv_block_packed import packed_wpp
+
+    if not packed_flat_eligible(h, w, cin, c):
+        return False
+    rt = min(_packed_bwd_row_tile(h, cin, c), h)
+    return (
+        packed_wpp(w) == canvas_wp(w // 2)
+        and rt % 8 == 0
+        and os.environ.get("PDA_PALLAS_POOLBWD", "1") != "0"
+    )
+
+
 def flat_block_eligible(h: int, w: int, cin: int, c: int) -> bool:
     """Can a ConvBlock at this geometry run the flat unpacked kernels?"""
     return (
@@ -642,13 +745,20 @@ class ConvBlock(nn.Module):
     dtype: jnp.dtype = jnp.float32
 
     @nn.compact
-    def __call__(self, x: jax.Array, flat_geom=None) -> jax.Array:
+    def __call__(self, x: jax.Array, flat_geom=None, pool_out=None) -> jax.Array:
         """Image mode (default): x is (B, H, W, Cin). Flat mode: pass
         ``flat_geom=(h, w, cin)`` with x a margin-0 flat (unpacked
         ``(B, h*wp, cin)`` or packed ``(B, h*wpp, 2*cin)``) of the PRE-pool
-        geometry; the output is a flat of the same family."""
+        geometry; the output is a flat of the same family.
+
+        ``pool_out`` (flat packed blocks whose consumer pools, gated by
+        :func:`packed_pool_out_eligible`): ``"only"`` returns the 2x2
+        avg-pooled unpacked flat instead of the block output (the pool's
+        transpose runs inside the fused backward kernel); ``"with"``
+        returns ``(outf, pooledf)`` for blocks whose full-res output is
+        also consumed (the backbone skip)."""
         if flat_geom is not None:
-            return self._call_flat(x, *flat_geom)
+            return self._call_flat(x, *flat_geom, pool_out=pool_out)
         if self.pool:
             x = avg_pool_2x2(x)
         params = []
@@ -694,7 +804,7 @@ class ConvBlock(nn.Module):
             x = jnp.maximum(_conv_same(x, cp.kernel) + cp.bias.astype(x.dtype), 0.0)
         return x
 
-    def _call_flat(self, x, h: int, w: int, cin: int) -> jax.Array:
+    def _call_flat(self, x, h: int, w: int, cin: int, pool_out=None) -> jax.Array:
         from . import flat_ops
 
         assert self.n_convs == 3, "flat mode serves the 3-conv blocks"
@@ -726,6 +836,12 @@ class ConvBlock(nn.Module):
             h, w = h // 2, w // 2
         x = x.astype(self.dtype)
         packed = x.shape[-1] == 2 * cin
+        if pool_out is not None:
+            assert packed and not self.pool, (packed, self.pool)
+            if pool_out == "only":
+                return conv3_relu_flat_packed_pool(h, w, x, *weights)
+            assert pool_out == "with", pool_out
+            return conv3_relu_flat_packed_with_pool(h, w, x, *weights)
         fn = conv3_relu_flat_packed if packed else conv3_relu_flat
         return fn(h, w, x, *weights)
 
@@ -806,12 +922,28 @@ class EncoderPyramid(nn.Module):
                 flat_ops.to_flat_packed(x) if packed0 else flat_ops.to_flat(x)
             )
             ci = cin
+            depth = len(self.num_filters)
+            # Level 0's output here feeds ONLY level 1's pool: emit the
+            # pooled flat from the fused block+pool op when eligible (the
+            # pool transpose then runs inside the backward kernel).
+            pool_fused = (
+                packed0
+                and depth > 1
+                and packed_pool_out_eligible(h, w, cin, self.num_filters[0])
+            )
             for i, feats in enumerate(self.num_filters):
+                prepooled = pool_fused and i == 1
                 xf = ConvBlock(
-                    feats, n_convs=self.n_convs_per_block, pool=(i > 0),
-                    dtype=self.dtype,
-                )(xf, flat_geom=(h, w, ci))
-                if i > 0:
+                    feats, n_convs=self.n_convs_per_block,
+                    pool=(i > 0 and not prepooled), dtype=self.dtype,
+                )(
+                    xf,
+                    flat_geom=(h, w, ci),
+                    pool_out="only" if (pool_fused and i == 0) else None,
+                )
+                if pool_fused and i == 0:
+                    h, w = h // 2, w // 2  # the block emitted the pooled flat
+                elif i > 0 and not prepooled:
                     h, w = h // 2, w // 2
                 ci = feats
             last_packed = packed0 and len(self.num_filters) == 1

@@ -101,12 +101,34 @@ class PUNetBackbone(nn.Module):
 
         skips = []  # (flat, (h, w), channels)
         h, w, ci = h0, w0, cin
+        # Level 0 output feeds the skip AND level 1's pool: the fused
+        # block+pool op returns both, and the pool's transpose (plus the
+        # skip/pool cotangent add) runs inside the backward kernel.
+        from .blocks import packed_pool_out_eligible
+
+        pool_fused = (
+            packed0
+            and depth > 1
+            and packed_pool_out_eligible(h0, w0, cin, self.num_filters[0])
+        )
         for i, feats in enumerate(self.num_filters):
-            xf = ConvBlock(
-                feats, n_convs=self.n_convs_per_block, pool=(i > 0),
-                dtype=self.dtype,
-            )(xf, flat_geom=(h, w, ci))
-            if i > 0:
+            prepooled = pool_fused and i == 1
+            out = ConvBlock(
+                feats, n_convs=self.n_convs_per_block,
+                pool=(i > 0 and not prepooled), dtype=self.dtype,
+            )(
+                xf,
+                flat_geom=(h, w, ci),
+                pool_out="with" if (pool_fused and i == 0) else None,
+            )
+            if pool_fused and i == 0:
+                full, xf = out  # full-res (skip) + pooled (next block input)
+                skips.append((full, (h, w), feats))
+                h, w = h // 2, w // 2
+                ci = feats
+                continue
+            xf = out
+            if i > 0 and not prepooled:
                 h, w = h // 2, w // 2
             if i != depth - 1:
                 skips.append((xf, (h, w), feats))
