@@ -4,9 +4,12 @@ Variant of pda.kernels.conv_block for the ``Cout = 64`` block geometries
 (the PUNet's level-0 blocks: backbone/prior/posterior first blocks and the
 last decoder block — all at the full 512^2 resolution, the step's hottest
 tensors). The base kernel streams (flat_positions, 64)-lane operands, which
-wastes half of every 128-lane vector register and was measured at ~137 GB/s
-HBM streaming vs ~205 GB/s for 128-lane blocks, and runs (.., 64) @ (64, ..)
-contractions at half MXU utilization.
+wastes half of every 128-lane vector register (and half of every (8, 128)
+VMEM tile moved over HBM), and runs (.., 64) @ (64, ..) contractions at half
+MXU utilization. (In-program streaming rates, dispatch-free chained copies:
+128-lane bf16 Pallas blocks ~425 GB/s vs XLA's ~620 — see the measurement
+correction in IMPLEMENTATION_STATUS.md; earlier 137/205 GB/s figures were
+floored by ~1 ms/dispatch through the axon tunnel.)
 
 This kernel packs PAIRS of adjacent flat spatial positions into one 128-lane
 row:
