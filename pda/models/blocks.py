@@ -215,7 +215,8 @@ def _bwd_row_tile(h: int, cin: int, c: int) -> int:
 
     m = max(cin, c)
     if h >= 512:
-        rt = 16 if m <= 64 else 8
+        rt = (int(os.environ.get("PDA_RT_BWD512", "0"))
+              or (16 if m <= 64 else 8))
     elif h == 256:
         rt = 32 if m <= 128 else 16
     elif h == 128:
@@ -315,7 +316,9 @@ def _packed_fwd_row_tile(h: int, cin: int, c: int) -> int:
 
 def _packed_bwd_row_tile(h: int, cin: int, c: int) -> int:
     if h >= 512:
-        return _fit_tile(h, 8 if cin > 64 else 16)
+        rt = (int(os.environ.get("PDA_RT_PBWD512", "0"))
+              or (8 if cin > 64 else 16))
+        return _fit_tile(h, rt)
     return _fit_tile(h, min(16, h))
 
 
