@@ -550,20 +550,28 @@ def _conv3fp_fwd(h, w, xf, w1, b1, w2, b2, w3, b3):
     return outf, (xf, outf, h1f, h2f, w1, b1, w2, b2, w3)
 
 
-def _conv3fp_bwd(h, w, res, g):
+def _packed_bwd(h, w, res, gf, gpf):
+    """Shared backward body for the three packed-flat VJPs: gf is the
+    full-res cotangent (None for pool-only consumers), gpf the pooled one
+    (None when no pool consumer)."""
     from ..kernels.conv_block_packed_bwd import conv_block_packed_bwd_flat
 
     xf, outf, h1f, h2f, w1, b1, w2, b2, w3 = res
     cin = xf.shape[-1] // 2
     rt = _packed_bwd_row_tile(h, cin, w1.shape[-1])
     dxf, dw1, db1, dw2, db2, dw3, db3 = conv_block_packed_bwd_flat(
-        xf, outf, g.astype(xf.dtype), h1f, h2f,
+        xf, outf, None if gf is None else gf.astype(xf.dtype), h1f, h2f,
         h, w, w1, w2, w3, b1=b1, b2=b2, row_tile=rt,
         need_dx=not _packed_input_block(cin),
+        gpf=None if gpf is None else gpf.astype(xf.dtype),
     )
     if dxf is None:
         dxf = jnp.zeros_like(xf)  # input block: no gradient consumer; DCE'd
     return dxf, dw1, db1, dw2, db2, dw3, db3
+
+
+def _conv3fp_bwd(h, w, res, g):
+    return _packed_bwd(h, w, res, g, None)
 
 
 conv3_relu_flat_packed.defvjp(_conv3fp_fwd, _conv3fp_bwd)
@@ -599,20 +607,7 @@ def _conv3fpp_fwd(h, w, xf, w1, b1, w2, b2, w3, b3):
 
 
 def _conv3fpp_bwd(h, w, res, g):
-    from ..kernels.conv_block_packed_bwd import conv_block_packed_bwd_flat
-
-    xf, outf, h1f, h2f, w1, b1, w2, b2, w3 = res
-    cin = xf.shape[-1] // 2
-    rt = _packed_bwd_row_tile(h, cin, w1.shape[-1])
-    dxf, dw1, db1, dw2, db2, dw3, db3 = conv_block_packed_bwd_flat(
-        xf, outf, None, h1f, h2f,
-        h, w, w1, w2, w3, b1=b1, b2=b2, row_tile=rt,
-        need_dx=not _packed_input_block(cin),
-        gpf=g.astype(xf.dtype),
-    )
-    if dxf is None:
-        dxf = jnp.zeros_like(xf)
-    return dxf, dw1, db1, dw2, db2, dw3, db3
+    return _packed_bwd(h, w, res, None, g)
 
 
 conv3_relu_flat_packed_pool.defvjp(_conv3fpp_fwd, _conv3fpp_bwd)
@@ -634,24 +629,50 @@ def _conv3fpw_fwd(h, w, xf, w1, b1, w2, b2, w3, b3):
 
 
 def _conv3fpw_bwd(h, w, res, gs):
-    from ..kernels.conv_block_packed_bwd import conv_block_packed_bwd_flat
-
     g_out, g_pool = gs
-    xf, outf, h1f, h2f, w1, b1, w2, b2, w3 = res
-    cin = xf.shape[-1] // 2
-    rt = _packed_bwd_row_tile(h, cin, w1.shape[-1])
-    dxf, dw1, db1, dw2, db2, dw3, db3 = conv_block_packed_bwd_flat(
-        xf, outf, g_out.astype(xf.dtype), h1f, h2f,
-        h, w, w1, w2, w3, b1=b1, b2=b2, row_tile=rt,
-        need_dx=not _packed_input_block(cin),
-        gpf=g_pool.astype(xf.dtype),
-    )
-    if dxf is None:
-        dxf = jnp.zeros_like(xf)
-    return dxf, dw1, db1, dw2, db2, dw3, db3
+    return _packed_bwd(h, w, res, g_out, g_pool)
 
 
 conv3_relu_flat_packed_with_pool.defvjp(_conv3fpw_fwd, _conv3fpw_bwd)
+
+
+def flat_pyramid_plan(h: int, w: int, cin: int, filters, packed0: bool) -> bool:
+    """Shared gate: run the pyramid's level 0 through the fused block+pool
+    op? (Both PUNetBackbone and EncoderPyramid use this.)"""
+    return (
+        packed0
+        and len(filters) > 1
+        and packed_pool_out_eligible(h, w, cin, filters[0])
+    )
+
+
+def flat_pyramid_level(
+    i: int, feats: int, xf, h: int, w: int, ci: int,
+    *, pool_fused: bool, want_skip: bool, n_convs: int, dtype,
+):
+    """Run contracting-pyramid level ``i`` in the flat pipeline, owning the
+    fused level-0 block+pool bookkeeping shared by PUNetBackbone._call_flat
+    and EncoderPyramid.__call__ (keep the two loops in lockstep).
+
+    Returns ``(full, xf_next, h_next, w_next)``: ``full`` is the level-0
+    full-res flat when ``want_skip`` and the fused path ran (the backbone's
+    skip), else None; geometry halves when this level's OUTPUT was pooled
+    (fused level 0) or the block pooled its INPUT (i > 0, not prepooled —
+    level 1 skips its own pool when level 0 already emitted the pooled
+    flat)."""
+    prepooled = pool_fused and i == 1
+    pool_out = (
+        ("with" if want_skip else "only") if (pool_fused and i == 0) else None
+    )
+    out = ConvBlock(
+        feats, n_convs=n_convs, pool=(i > 0 and not prepooled), dtype=dtype
+    )(xf, flat_geom=(h, w, ci), pool_out=pool_out)
+    full = None
+    if pool_out == "with":
+        full, out = out
+    if pool_out is not None or (i > 0 and not prepooled):
+        h, w = h // 2, w // 2
+    return full, out, h, w
 
 
 def packed_pool_out_eligible(h: int, w: int, cin: int, c: int) -> bool:
@@ -748,20 +769,21 @@ class ConvBlock(nn.Module):
     dtype: jnp.dtype = jnp.float32
 
     @nn.compact
-    def __call__(self, x: jax.Array, flat_geom=None, pool_out=None) -> jax.Array:
-        """Image mode (default): x is (B, H, W, Cin). Flat mode: pass
-        ``flat_geom=(h, w, cin)`` with x a margin-0 flat (unpacked
-        ``(B, h*wp, cin)`` or packed ``(B, h*wpp, 2*cin)``) of the PRE-pool
-        geometry; the output is a flat of the same family.
+    def __call__(self, x: jax.Array, flat_geom=None, pool_out=None):
+        """Image mode (default): x is (B, H, W, Cin), returns an array.
+        Flat mode: pass ``flat_geom=(h, w, cin)`` with x a margin-0 flat
+        (unpacked ``(B, h*wp, cin)`` or packed ``(B, h*wpp, 2*cin)``) of the
+        PRE-pool geometry; the output is a flat of the same family.
 
-        ``pool_out`` (flat packed blocks whose consumer pools, gated by
-        :func:`packed_pool_out_eligible`): ``"only"`` returns the 2x2
-        avg-pooled unpacked flat instead of the block output (the pool's
-        transpose runs inside the fused backward kernel); ``"with"``
-        returns ``(outf, pooledf)`` for blocks whose full-res output is
-        also consumed (the backbone skip)."""
+        ``pool_out`` (flat-mode only — packed blocks whose consumer pools,
+        gated by :func:`packed_pool_out_eligible`): ``"only"`` returns the
+        2x2 avg-pooled unpacked flat instead of the block output (the
+        pool's transpose runs inside the fused backward kernel); ``"with"``
+        returns the TUPLE ``(outf, pooledf)`` for blocks whose full-res
+        output is also consumed (the backbone skip)."""
         if flat_geom is not None:
             return self._call_flat(x, *flat_geom, pool_out=pool_out)
+        assert pool_out is None, "pool_out requires flat mode (flat_geom)"
         if self.pool:
             x = avg_pool_2x2(x)
         params = []
@@ -925,29 +947,16 @@ class EncoderPyramid(nn.Module):
                 flat_ops.to_flat_packed(x) if packed0 else flat_ops.to_flat(x)
             )
             ci = cin
-            depth = len(self.num_filters)
             # Level 0's output here feeds ONLY level 1's pool: emit the
             # pooled flat from the fused block+pool op when eligible (the
             # pool transpose then runs inside the backward kernel).
-            pool_fused = (
-                packed0
-                and depth > 1
-                and packed_pool_out_eligible(h, w, cin, self.num_filters[0])
-            )
+            pool_fused = flat_pyramid_plan(h, w, cin, self.num_filters, packed0)
             for i, feats in enumerate(self.num_filters):
-                prepooled = pool_fused and i == 1
-                xf = ConvBlock(
-                    feats, n_convs=self.n_convs_per_block,
-                    pool=(i > 0 and not prepooled), dtype=self.dtype,
-                )(
-                    xf,
-                    flat_geom=(h, w, ci),
-                    pool_out="only" if (pool_fused and i == 0) else None,
+                _, xf, h, w = flat_pyramid_level(
+                    i, feats, xf, h, w, ci,
+                    pool_fused=pool_fused, want_skip=False,
+                    n_convs=self.n_convs_per_block, dtype=self.dtype,
                 )
-                if pool_fused and i == 0:
-                    h, w = h // 2, w // 2  # the block emitted the pooled flat
-                elif i > 0 and not prepooled:
-                    h, w = h // 2, w // 2
                 ci = feats
             last_packed = packed0 and len(self.num_filters) == 1
             return xf, (h, w), last_packed

@@ -104,34 +104,23 @@ class PUNetBackbone(nn.Module):
         # Level 0 output feeds the skip AND level 1's pool: the fused
         # block+pool op returns both, and the pool's transpose (plus the
         # skip/pool cotangent add) runs inside the backward kernel.
-        from .blocks import packed_pool_out_eligible
+        from .blocks import flat_pyramid_level, flat_pyramid_plan
 
-        pool_fused = (
-            packed0
-            and depth > 1
-            and packed_pool_out_eligible(h0, w0, cin, self.num_filters[0])
-        )
+        pool_fused = flat_pyramid_plan(h0, w0, cin, self.num_filters, packed0)
         for i, feats in enumerate(self.num_filters):
-            prepooled = pool_fused and i == 1
-            out = ConvBlock(
-                feats, n_convs=self.n_convs_per_block,
-                pool=(i > 0 and not prepooled), dtype=self.dtype,
-            )(
-                xf,
-                flat_geom=(h, w, ci),
-                pool_out="with" if (pool_fused and i == 0) else None,
+            h_in, w_in = h, w
+            full, xf, h, w = flat_pyramid_level(
+                i, feats, xf, h, w, ci,
+                pool_fused=pool_fused, want_skip=True,
+                n_convs=self.n_convs_per_block, dtype=self.dtype,
             )
-            if pool_fused and i == 0:
-                full, xf = out  # full-res (skip) + pooled (next block input)
-                skips.append((full, (h, w), feats))
-                h, w = h // 2, w // 2
-                ci = feats
-                continue
-            xf = out
-            if i > 0 and not prepooled:
-                h, w = h // 2, w // 2
             if i != depth - 1:
-                skips.append((xf, (h, w), feats))
+                # the skip is the level's full-res output: `full` (pre-pool
+                # geometry) on the fused level 0, else the block output
+                if full is not None:
+                    skips.append((full, (h_in, w_in), feats))
+                else:
+                    skips.append((xf, (h, w), feats))
             ci = feats
 
         for i in range(depth - 2, -1, -1):

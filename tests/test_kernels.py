@@ -536,3 +536,75 @@ class TestFlatKernelVariants:
         ):
             rel = float(jnp.abs(a - r).max() / (jnp.abs(r).max() + 1e-9))
             assert rel < 2e-5, (name, rel)
+
+    @pytest.mark.parametrize(
+        "shape,c,rt,g_mode",
+        [
+            ((2, 32, 32, 4), 8, 8, "pooled"),
+            ((1, 64, 32, 2), 8, 16, "pooled"),
+            ((2, 32, 32, 4), 8, 8, "both"),
+            ((1, 64, 64, 1), 8, 8, "both"),
+        ],
+    )
+    def test_flat_backward_packed_pooled(self, shape, c, rt, g_mode):
+        """The in-kernel 2x2 avg-pool transpose (gpf cotangent): pooled-only
+        consumers (g_mode='pooled') and dual full-res + pooled consumers
+        (g_mode='both') must match autodiff through block [+ pool] at
+        multi-band, rectangular and edge geometries."""
+        from pda.kernels.conv_block import canvas_wp, flat_m0
+        from pda.kernels.conv_block_packed import packed_wpp
+        from pda.kernels.conv_block_packed_bwd import (
+            conv_block_packed_bwd_flat, flat_m0 as flat_m0p,
+        )
+        from pda.models.blocks import (
+            _conv_same, avg_pool_2x2, packed_pool_out_eligible,
+        )
+
+        x, ws, bs, g = self._mk(shape, c, 37)
+        b, h, w, cin = shape
+        assert packed_pool_out_eligible(h, w, cin, c), (shape, c)
+        rng = np.random.default_rng(41)
+        gp = jnp.asarray(
+            rng.normal(size=(b, h // 2, w // 2, c)).astype(np.float32)
+        )
+
+        def block(x, w1, b1, w2, b2, w3, b3):
+            hh = x
+            for wk, bk in ((w1, b1), (w2, b2), (w3, b3)):
+                hh = jnp.maximum(_conv_same(hh, wk) + bk, 0.0)
+            return hh
+
+        def consumer(*args):
+            out = block(*args)
+            pooled = avg_pool_2x2(out)
+            if g_mode == "pooled":
+                return pooled
+            return out, pooled
+
+        cot = gp if g_mode == "pooled" else (g, gp)
+        h3full, vjp = jax.vjp(
+            consumer, x, ws[0], bs[0], ws[1], bs[1], ws[2], bs[2]
+        )
+        ref = vjp(cot)
+        h3 = block(x, ws[0], bs[0], ws[1], bs[1], ws[2], bs[2])
+        h1 = jnp.maximum(_conv_same(x, ws[0]) + bs[0], 0.0)
+        h2 = jnp.maximum(_conv_same(h1, ws[1]) + bs[1], 0.0)
+        wpp = packed_wpp(w)
+        wp2 = canvas_wp(w // 2)
+        assert wp2 == wpp  # the eligibility contract the kernel relies on
+        out = conv_block_packed_bwd_flat(
+            flat_m0p(x, wpp), flat_m0p(h3, wpp),
+            flat_m0p(g, wpp) if g_mode == "both" else None,
+            flat_m0p(h1, wpp), flat_m0p(h2, wpp),
+            h, w, ws[0], ws[1], ws[2],
+            row_tile=rt, interpret=True,
+            gpf=flat_m0(gp, wp2),
+        )
+        from pda.kernels.conv_block_packed import uncanvas_packed
+
+        outs = (uncanvas_packed(out[0], h, w),) + out[1:]
+        for name, a, r in zip(
+            ["dx", "dw1", "db1", "dw2", "db2", "dw3", "db3"], outs, ref
+        ):
+            rel = float(jnp.abs(a - r).max() / (jnp.abs(r).max() + 1e-9))
+            assert rel < 2e-5, (name, rel)
