@@ -86,7 +86,12 @@ void pda_crop(const float *src, int64_t H, int64_t W, int64_t y0, int64_t x0,
 
 // ---------------------------------------------------------------------------
 // separable gaussian blur (reflect border), matches cv2.GaussianBlur(ksize=0)
-// kernel radius = ceil(4 * sigma) truncation like OpenCV's automatic size
+// on float images: automatic ksize = round(8*sigma + 1) | 1, i.e. kernel
+// radius ~4*sigma — the same truncation the numpy fallback path
+// (pda.data.transforms.GaussianBlur -> cv2) uses, so toggling
+// PDA_NATIVE_AUGS does not change the augmentation distribution. The radius
+// is additionally clamped to the image extent so the single-reflection
+// border indexing below can never leave the buffer.
 // ---------------------------------------------------------------------------
 
 static void blur_axis(const float *src, float *dst, int64_t h, int64_t w,
@@ -145,9 +150,19 @@ void pda_gaussian_blur(const float *src, float *dst, int64_t h, int64_t w,
     std::memcpy(dst, src, (size_t)(h * w) * sizeof(float));
     return;
   }
-  int radius = (int)std::ceil(3.0f * sigma);
+  // cv2 automatic size for float depth: ksize = round(8*sigma + 1) | 1
+  int ksize = (int)std::lround(8.0 * (double)sigma + 1.0);
+  if ((ksize & 1) == 0) ksize += 1;
+  int radius = ksize / 2;
   if (radius < 1) radius = 1;
   if (radius > 64) radius = 64;
+  // single-reflection border handling requires radius <= dim - 1
+  if (radius > (int)h - 1) radius = (int)h - 1;
+  if (radius > (int)w - 1) radius = (int)w - 1;
+  if (radius < 1) {  // degenerate 1-pixel axis: nothing to blur over
+    std::memcpy(dst, src, (size_t)(h * w) * sizeof(float));
+    return;
+  }
   float kern[129];
   double ksum = 0.0;
   for (int t = -radius; t <= radius; ++t) {

@@ -127,7 +127,18 @@ class Loader:
             try:
                 self._pool = ("process", self._make_shm_pool())
                 return self._pool
-            except Exception:
+            except Exception as e:
+                # the thread pool measures SLOWER than inline at 512^2 (see
+                # module docstring) — never degrade silently
+                import warnings
+
+                warnings.warn(
+                    "shared-memory process pool unavailable "
+                    f"({type(e).__name__}: {e}); falling back to thread "
+                    "workers, which do not scale for large patches",
+                    RuntimeWarning,
+                    stacklevel=2,
+                )
                 if self._fallback_pool is not None:  # smoke fetch failed
                     self._fallback_pool.shutdown(
                         wait=False, cancel_futures=True
@@ -155,6 +166,9 @@ class Loader:
         self._shm = shared_memory.SharedMemory(
             create=True, size=max(self._slot_nbytes * self._n_slots, 1)
         )
+        # slot ownership lives on the Loader (NOT per-iterator) so two live
+        # iterators can never hand out the same slot concurrently
+        self._free_slots = list(range(self._n_slots))
         # forkserver: workers re-import cleanly, never inheriting the
         # parent's initialized JAX/TPU runtime state (forking a process
         # with a live XLA client can deadlock)
@@ -202,15 +216,13 @@ class Loader:
     def __len__(self) -> int:
         n = len(self.dataset)
         if self.drop_last:
-            return max(n // self.batch_size, 1 if n >= self.batch_size else 0) or (
-                1 if n > 0 else 0
-            )
+            return n // self.batch_size
         return (n + self.batch_size - 1) // self.batch_size
 
-    def _epoch_indices(self) -> np.ndarray:
+    def _epoch_indices(self, epoch: int) -> np.ndarray:
         idx = np.arange(len(self.dataset))
         if self.shuffle:
-            np.random.default_rng((self.seed, self._epoch)).shuffle(idx)
+            np.random.default_rng((self.seed, epoch)).shuffle(idx)
         return idx
 
     def _fetch(self, epoch: int, index: int):
@@ -227,12 +239,21 @@ class Loader:
     def __iter__(self) -> Iterator[tuple]:
         epoch = self._epoch
         self._epoch += 1
-        indices = self._epoch_indices()
+        indices = self._epoch_indices(epoch)
         n_full = len(indices) // self.batch_size
         if not self.drop_last and len(indices) % self.batch_size:
             n_batches = n_full + 1
+        elif self.drop_last and n_full == 0 and len(indices) > 0:
+            # drop_last exists to guarantee fixed batch shapes (XLA
+            # recompiles on shape change); silently yielding one partial
+            # batch would defeat that. Configuration error — say so.
+            raise ValueError(
+                f"dataset ({len(indices)} samples) is smaller than "
+                f"batch_size={self.batch_size} with drop_last=True; lower "
+                "the batch size or pass drop_last=False"
+            )
         else:
-            n_batches = max(n_full, 1 if len(indices) >= 1 and n_full == 0 else n_full)
+            n_batches = n_full
         if n_batches == 0:
             return
 
@@ -264,21 +285,33 @@ class Loader:
 
         depth = self._depth()
         mode, pool = self._get_pool()
-        pending = []
+        pending = []  # list of batches; each batch is [(future, slot)]
         next_b = 0
-        free_slots = list(range(self._n_slots))
+
+        def take_slot():
+            try:
+                return self._free_slots.pop()
+            except IndexError:
+                raise RuntimeError(
+                    "no free shared-memory slot: another live iterator over "
+                    "this Loader holds them all (close/exhaust it first)"
+                ) from None
 
         def submit_batch(b):
             rows = batch_slice(b)
             if mode == "process":
-                return [
-                    pool.submit(
-                        _worker_fetch_shm, self.seed, epoch, int(i),
-                        free_slots.pop(), self._slot_nbytes,
-                    )
-                    for i in rows
-                ]
-            return [pool.submit(self._fetch, epoch, i) for i in rows]
+                out = []
+                for i in rows:
+                    slot = take_slot()
+                    out.append((
+                        pool.submit(
+                            _worker_fetch_shm, self.seed, epoch, int(i),
+                            slot, self._slot_nbytes,
+                        ),
+                        slot,
+                    ))
+                return out
+            return [(pool.submit(self._fetch, epoch, i), None) for i in rows]
 
         current = None
         try:
@@ -288,12 +321,18 @@ class Loader:
             while pending:
                 current = pending.pop(0)
                 samples = []
-                for f in current:
-                    r = f.result()
+                while current:  # pop as consumed: the finally drain below
+                    f, slot = current.pop(0)  # must never re-free a slot
+                    try:
+                        r = f.result()
+                    except BaseException:
+                        if slot is not None:  # worker done; slot is safe
+                            self._free_slots.append(slot)
+                        raise
                     if mode == "process":
-                        slot, layout = r
+                        _, layout = r
                         samples.append(self._read_slot(layout))
-                        free_slots.append(slot)
+                        self._free_slots.append(slot)
                     else:
                         samples.append(r)
                 current = None
@@ -305,15 +344,18 @@ class Loader:
         finally:
             # The training engine abandons epochs mid-iteration (iteration
             # budgets), and a worker exception mid-batch leaves that batch's
-            # sibling futures in flight. Drain everything so no worker is
-            # still writing into a shm slot the NEXT __iter__ hands out.
+            # sibling futures in flight. Drain everything (returning the
+            # slots to the Loader-level pool) so no worker is still writing
+            # into a shm slot a LIVE iterator could be handed.
             for futures in ([current] if current else []) + pending:
-                for f in futures:
+                for f, slot in futures:
                     if not f.cancel():
                         try:
                             f.result()
                         except Exception:
                             pass
+                    if slot is not None:
+                        self._free_slots.append(slot)
 
 
 def get_data_loader(dataset, batch_size: int, **kwargs) -> Loader:
