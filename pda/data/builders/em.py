@@ -11,7 +11,6 @@ from __future__ import annotations
 
 import os
 from glob import glob
-from shutil import rmtree
 from typing import Optional, Sequence, Tuple
 
 import numpy as np
@@ -86,7 +85,11 @@ def _get_vnc_data(path: str, download: bool):
             "raw", data=_stack_images(os.path.join(root, "stack2", "raw", "*.tif")),
             compression="gzip",
         )
-    rmtree(root)
+    # The extracted tree is KEPT (reference my_vnc.py:52 rmtree's it, but the
+    # experiment's own --predict/--evaluate phases glob
+    # vnc/groundtruth-drosophila-vnc-master/stack1/{raw,mitochondria}/*
+    # (mitoem_punet.py:59,89) — deleting it breaks prediction/evaluation
+    # after training; upstream latent bug not reproduced).
 
 
 def get_vnc_mito_loader(
@@ -163,7 +166,9 @@ def _require_lucchi_data(path: str, download: bool):
         with h5py.File(os.path.join(path, out), "w") as f:
             f.create_dataset("raw", data=raw, compression="gzip")
             f.create_dataset("labels", data=labels.astype("uint8"), compression="gzip")
-    rmtree(root)
+    # The extracted Lucchi++ tree is KEPT (reference my_lucchi.py:75 rmtree's
+    # it, but --predict/--evaluate glob lucchi/Lucchi++/{Test_In,Test_Out}/*
+    # — mitoem_punet.py:57,87; upstream latent bug not reproduced).
 
 
 def get_lucchi_loader(

@@ -91,6 +91,15 @@ class _PatchDatasetBase:
         self.seed = seed
         self.sample_random_index = n_samples is not None
         self._len = n_samples if n_samples is not None else n_images
+        self._cache: dict = {}
+
+    def _load(self, item) -> np.ndarray:
+        """Path-or-array image access with a per-dataset decode cache."""
+        if isinstance(item, np.ndarray):
+            return item
+        if item not in self._cache:
+            self._cache[item] = load_image(item)
+        return self._cache[item]
 
     def __len__(self) -> int:
         return self._len
@@ -104,8 +113,12 @@ class _PatchDatasetBase:
             raise ValueError(
                 f"Image shape {shape} smaller than patch shape {self.patch_shape}"
             )
+        # endpoint=True: the maximal start (sh - psh) is drawable, so the
+        # last row/column of every image can appear in a patch (the
+        # reference's np.random.randint high is exclusive and permanently
+        # blind to the image's bottom/right edge — bug not reproduced)
         starts = [
-            int(rng.integers(0, sh - psh)) if sh - psh > 0 else 0
+            int(rng.integers(0, sh - psh, endpoint=True)) if sh - psh > 0 else 0
             for sh, psh in zip(shape, self.patch_shape)
         ]
         return tuple(
@@ -116,6 +129,11 @@ class _PatchDatasetBase:
         """Crop the same random window from every array; re-draw while the
         sampler rejects (raw, label) — max 500 attempts."""
         shape = arrays[0].shape[:2]
+        if self.sampler is not None and len(arrays) < 2:
+            raise ValueError(
+                "sampler-based patch rejection needs (raw, labels) pairs; "
+                "this dataset yields raw-only samples — drop the sampler"
+            )
         for _ in range(MAX_SAMPLING_ATTEMPTS):
             bb = self._bounding_box(shape, rng)
             patches = [np.array(a[bb]) for a in arrays]
@@ -173,14 +191,6 @@ class ImageCollectionDataset(_PatchDatasetBase):
         self.raw_transform = raw_transform
         self.label_transform = label_transform
         self.transform = transform if transform is not None else get_augmentations(2)
-        self._cache: dict = {}
-
-    def _load(self, item: ArrayOrPath) -> np.ndarray:
-        if isinstance(item, np.ndarray):
-            return item
-        if item not in self._cache:
-            self._cache[item] = load_image(item)
-        return self._cache[item]
 
     def sample(self, index: int, rng: np.random.Generator):
         if self.sample_random_index:
@@ -253,14 +263,6 @@ class DualImageCollectionDataset(_PatchDatasetBase):
         self.augmentation1 = augmentation1
         self.augmentation2 = augmentation2
         self.transform = transform if transform is not None else get_augmentations(2)
-        self._cache: dict = {}
-
-    def _load(self, item: ArrayOrPath) -> np.ndarray:
-        if isinstance(item, np.ndarray):
-            return item
-        if item not in self._cache:
-            self._cache[item] = load_image(item)
-        return self._cache[item]
 
     def sample(self, index: int, rng: np.random.Generator):
         if self.sample_random_index:
@@ -328,33 +330,39 @@ class DualRawImageCollectionDataset(_PatchDatasetBase):
             patch_shape,
             n_samples=n_samples,
             n_images=len(raw_images),
-            sampler=None,
+            sampler=None,  # base rejection is (raw, labels); ours is raw-only
             seed=seed,
         )
         self.raw_images = list(raw_images)
         self.raw_transform = raw_transform
         self.augmentation1 = augmentation1
         self.augmentation2 = augmentation2
-        self._cache: dict = {}
-
-    def _load(self, item: ArrayOrPath) -> np.ndarray:
-        if isinstance(item, np.ndarray):
-            return item
-        if item not in self._cache:
-            self._cache[item] = load_image(item)
-        return self._cache[item]
+        #: raw-only rejection criterion, called as sampler(raw_patch) —
+        #: reference my_raw_image_collection_dataset.py:97-104
+        self.raw_sampler = sampler
 
     def sample(self, index: int, rng: np.random.Generator):
         if self.sample_random_index:
             index = int(rng.integers(0, len(self.raw_images)))
         index = index % len(self.raw_images)
         raw_full = self._load(self.raw_images[index])
-        bb = self._bounding_box(raw_full.shape[:2], rng)
-        raw = np.array(raw_full[bb]).astype(np.float32)
+        for _ in range(MAX_SAMPLING_ATTEMPTS):
+            bb = self._bounding_box(raw_full.shape[:2], rng)
+            raw = np.array(raw_full[bb]).astype(np.float32)
+            if self.raw_sampler is None or self.raw_sampler(raw):
+                break
+        else:
+            raise RuntimeError(
+                f"Could not sample a valid patch in "
+                f"{MAX_SAMPLING_ATTEMPTS} attempts"
+            )
 
         if self.augmentation1 is None and self.augmentation2 is None:
             if self.raw_transform is not None:
                 raw = self.raw_transform(raw)
+            # dummy label from the TRANSFORMED raw, as the reference does
+            # (__getitem__ applies raw_transform before `_labels =
+            # deepcopy(raw)`, my_raw_image_collection_dataset.py:114,136-140)
             return _ensure_hwc(raw), _ensure_hwc((raw > 0).astype(np.float32))
 
         raw1, raw2 = raw.copy(), raw.copy()
@@ -395,10 +403,13 @@ class LazyH5Volume:
         with self._dataset() as d:
             shape = d.shape
             self.dtype = d.dtype
-        self._start, self._stop, _ = (
+        self._start, self._stop, self._step = (
             roi.indices(shape[0]) if roi is not None else (0, shape[0], 1)
         )
-        self.shape = (self._stop - self._start, *shape[1:])
+        if self._step <= 0:
+            raise ValueError(f"roi step must be positive, got {roi}")
+        n0 = max(0, -(-(self._stop - self._start) // self._step))
+        self.shape = (n0, *shape[1:])
         self.ndim = len(self.shape)
 
     @contextmanager
@@ -419,10 +430,22 @@ class LazyH5Volume:
             index = (index,)
         first = index[0]
         if isinstance(first, (int, np.integer)):
-            first = int(first) + self._start
+            i = int(first)
+            if i < 0:
+                i += self.shape[0]
+            if not 0 <= i < self.shape[0]:
+                raise IndexError(
+                    f"index {int(first)} out of range for ROI axis of "
+                    f"length {self.shape[0]}"
+                )
+            first = self._start + i * self._step
         elif isinstance(first, slice):
             lo, hi, st = first.indices(self.shape[0])
-            first = slice(lo + self._start, hi + self._start, st)
+            first = slice(
+                self._start + lo * self._step,
+                self._start + hi * self._step,
+                st * self._step,
+            )
         with self._dataset() as d:
             return np.asarray(d[(first,) + index[1:]])
 

@@ -207,15 +207,18 @@ def concat_packed_pair(up: jax.Array, skip: jax.Array, cu: int, cs: int):
 
 
 def mean_flat(xf: jax.Array, h: int, w: int) -> jax.Array:
-    """Global spatial mean of a flat (packed or not): ring columns are zero,
-    so sum over the whole flat / (H*W) is exact. For packed flats the lane
-    halves are two column groups of the same image -> also divide by H*W
-    after summing the halves."""
+    """Global spatial mean of an UNPACKED flat (B, H*wp, C) -> (B, C): ring
+    columns are zero, so sum over the whole flat / (H*W) is exact. For a
+    PACKED flat use :func:`mean_flat_packed` — applying this to one would
+    return per-lane-half sums of shape (B, 2C), not the mean."""
     s = jnp.sum(xf, axis=1)
     return s / jnp.asarray(h * w, s.dtype)
 
 
 def mean_flat_packed(xf: jax.Array, h: int, w: int, c: int) -> jax.Array:
+    """Global spatial mean of a PACKED flat (B, H*wpp, 2C) -> (B, C): the
+    lane halves are the even/odd column groups of the same image, so they
+    sum before the single H*W division."""
     s = jnp.sum(xf, axis=1)
     return (s[:, :c] + s[:, c:]) / jnp.asarray(h * w, s.dtype)
 
@@ -244,7 +247,7 @@ def flat_pipeline_plan(h: int, w: int, cin: int, filters, *, with_decoder: bool)
             return None
     l0_packed = packed_flat_eligible(h, w, cin, filters[0])
     dec_packed = False
-    if with_decoder:
+    if with_decoder and depth > 1:
         for i in range(depth - 2, -1, -1):
             cdec = filters[i + 1] + filters[i]
             if not flat_block_eligible(hs[i], ws[i], cdec, filters[i]):
