@@ -71,21 +71,32 @@ def _write_tiff(path: str, data: np.ndarray):
     imageio.imwrite(path, np.ascontiguousarray(data))
 
 
-@partial(jax.jit, static_argnames=("model", "n_samples", "block", "halo", "n_shards"))
+@partial(jax.jit, static_argnames=("model", "n_samples", "block", "halo", "mesh"))
 def _tiled_punet_probs(model, params, image, key, n_samples, block, halo,
-                       n_shards=1):
+                       mesh=None):
     """Full-frame mean MC probability map via the on-device tile pipeline.
 
-    With ``n_shards > 1`` (under a mesh) the tile batch is padded to a
-    multiple of the device count so its leading axis shards evenly — the
-    spatial analog of context parallelism for this conv workload
-    (SURVEY.md section 5.7)."""
+    Under a ``mesh`` the tile batch is padded to a multiple of the device
+    count and its leading axis is EXPLICITLY sharded over every mesh axis —
+    the spatial analog of context parallelism for this conv workload
+    (SURVEY.md section 5.7). The constraint matters: with replicated params
+    and an unconstrained tile batch, GSPMD replicates the whole batch and
+    every device redundantly computes all tiles (verified on an 8-device
+    mesh: spec=P() without the constraint, 1/8 of the tiles per device
+    with it)."""
     tiles = tile_standardize(extract_tiles(image, block, halo))
     n_tiles = tiles.shape[0]
-    pad = (-n_tiles) % n_shards
-    if pad:
-        tiles = jnp.concatenate([tiles, jnp.zeros((pad, *tiles.shape[1:]),
-                                                  tiles.dtype)], axis=0)
+    if mesh is not None:
+        from jax.sharding import NamedSharding, PartitionSpec as P
+
+        pad = (-n_tiles) % mesh.devices.size
+        if pad:
+            tiles = jnp.concatenate(
+                [tiles, jnp.zeros((pad, *tiles.shape[1:]), tiles.dtype)], axis=0
+            )
+        tiles = jax.lax.with_sharding_constraint(
+            tiles, NamedSharding(mesh, P(mesh.axis_names, None, None, None))
+        )
     enc = model.apply({"params": params}, tiles, method="encode")
     logits = mc_decode_logits(model, params, enc.features, enc.prior, key, n_samples)
     probs = jnp.mean(jax.nn.sigmoid(logits), axis=0)[:n_tiles]
@@ -144,11 +155,9 @@ def punet_prediction(
     parallel inference over ICI).
     """
     os.makedirs(output_pred_path, exist_ok=True)
-    n_shards = 1
     if mesh is not None:
         from ..parallel.mesh import replicated
 
-        n_shards = mesh.devices.size
         params = jax.device_put(params, replicated(mesh))
     key = jax.random.PRNGKey(seed)
     for img_path in _glob_images(input_image_path):
@@ -157,7 +166,7 @@ def punet_prediction(
         key, sub = jax.random.split(key)
         pred = _tiled_punet_probs(
             model, params, jnp.asarray(img), sub, prior_samples, block_shape,
-            halo, n_shards,
+            halo, mesh,
         )
         out = os.path.join(output_pred_path, f"{img_name[:-4]}.tif")
         _write_tiff(out, np.asarray(pred)[..., 0].astype(np.float32))

@@ -50,8 +50,11 @@ def save_checkpoint(
     os.makedirs(directory, exist_ok=True)
     path = os.path.join(directory, f"{which}.ckpt")
     payload = serialization.to_bytes(_to_host(state))
-    with open(path, "wb") as f:
+    # Write-then-rename: a crash mid-write must never corrupt the checkpoint
+    # resume depends on (``fit(overwrite_training=False)`` reads latest.ckpt).
+    with open(path + ".tmp", "wb") as f:
         f.write(payload)
+    os.replace(path + ".tmp", path)
     meta = {
         "step": int(state.step),
         "current_metric": float(current_metric),
@@ -61,8 +64,10 @@ def save_checkpoint(
     }
     if extra:
         meta.update(extra)
-    with open(os.path.join(directory, f"{which}.json"), "w") as f:
+    meta_path = os.path.join(directory, f"{which}.json")
+    with open(meta_path + ".tmp", "w") as f:
         json.dump(meta, f)
+    os.replace(meta_path + ".tmp", meta_path)
     return path
 
 

@@ -334,8 +334,6 @@ class Trainer:
                    from_key: str = "params"):
         """Load params from another run's checkpoint into student or teacher
         (reference warm-start pattern, mean_teacher_trainer.py:44-50)."""
-        import os
-
         self.initialize()
         directory = ckpt_path_or_dir
         which = BEST

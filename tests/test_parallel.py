@@ -245,6 +245,34 @@ class TestShardedInference:
         b = iio.imread(os.path.join(out8, "a.tif"))
         np.testing.assert_allclose(a, b, atol=1e-5)
 
+    def test_tile_batch_actually_shards(self):
+        """The tile batch must carry an explicit sharding constraint: with
+        replicated params and an unconstrained batch, GSPMD replicates the
+        whole batch and every device redundantly computes all tiles. Pin
+        the constraint in the lowered program (predict.py)."""
+        from pda.infer.predict import _tiled_punet_probs
+        from pda.parallel.mesh import replicated
+
+        mesh = get_mesh(8)
+        model = _model()
+        x0 = jnp.zeros((1, 64, 64, 1))
+        params = jax.device_put(
+            model.init(jax.random.PRNGKey(0), x0, x0)["params"], replicated(mesh)
+        )
+        img = jnp.zeros((128, 128, 1))
+        lowered = _tiled_punet_probs.lower(
+            model, params, img, jax.random.PRNGKey(1), 2, (32, 32), (8, 8), mesh
+        )
+        txt = lowered.as_text()
+        # shardy spells it sdy.sharding_constraint; legacy GSPMD lowers a
+        # "Sharding" custom call
+        assert "sharding_constraint" in txt or "Sharding" in txt
+        # and the sharded run still executes
+        out = _tiled_punet_probs(
+            model, params, img, jax.random.PRNGKey(1), 2, (32, 32), (8, 8), mesh
+        )
+        assert out.shape == (128, 128, 1)
+
 
 class TestTrainerOnMesh:
     def test_trainer_fit_with_mesh(self, tmp_path):
