@@ -78,6 +78,7 @@ def distribution_alignment(
     source_distribution: jax.Array,
     *,
     eps: float = 0.0,
+    axis_name: str = None,
 ) -> Tuple[jax.Array, jax.Array]:
     """FixMatch distribution alignment, jittable re-statement.
 
@@ -93,6 +94,8 @@ def distribution_alignment(
     Returns (aligned_pseudo, distribution_ratio[bg, fg]).
     """
     fg = jnp.mean((pseudo >= 0.5).astype(pseudo.dtype))
+    if axis_name is not None:  # class frequency of the GLOBAL batch
+        fg = jax.lax.pmean(fg, axis_name)
     target_distribution = jnp.stack([1.0 - fg, fg])
     ratio = source_distribution / (target_distribution + eps)
     aligned = jnp.where(pseudo < 0.5, pseudo * ratio[0], pseudo * ratio[1])

@@ -9,10 +9,41 @@ NamedTuple of arrays so it can flow through jit/vmap/scan and shardings.
 
 from __future__ import annotations
 
-from typing import NamedTuple
+from typing import NamedTuple, Optional
 
 import jax
 import jax.numpy as jnp
+
+
+def sharded_normal(
+    key: jax.Array,
+    shape,
+    dtype,
+    axis_name: Optional[str] = None,
+    batch_axis: int = 0,
+) -> jax.Array:
+    """``jax.random.normal`` whose result is EXACTLY the local slice of a
+    global-batch draw when running inside ``shard_map`` over ``axis_name``.
+
+    Every shard holds the same replicated ``key``; drawing locally would give
+    all shards identical noise for different data (and break loss equality
+    with the single-device program). Instead the full global-batch noise is
+    drawn (latent-sized arrays — cheap) and each shard slices its block, so a
+    sharded step reproduces the unsharded step bit-for-bit.
+    """
+    if axis_name is None:
+        return jax.random.normal(key, shape, dtype)
+    n = jax.lax.axis_size(axis_name)
+    gshape = (
+        *shape[:batch_axis],
+        shape[batch_axis] * n,
+        *shape[batch_axis + 1 :],
+    )
+    g = jax.random.normal(key, gshape, dtype)
+    i = jax.lax.axis_index(axis_name)
+    return jax.lax.dynamic_slice_in_dim(
+        g, i * shape[batch_axis], shape[batch_axis], batch_axis
+    )
 
 
 class DiagGaussian(NamedTuple):
@@ -28,24 +59,29 @@ class DiagGaussian(NamedTuple):
     def sigma(self) -> jax.Array:
         return jnp.exp(self.log_sigma)
 
-    def sample(self, key: jax.Array) -> jax.Array:
+    def sample(self, key: jax.Array, axis_name: Optional[str] = None) -> jax.Array:
         """Reparameterized sample: mu + sigma * eps.
 
         The reference distinguishes ``rsample()`` (training) from ``sample()``
         (testing) (probabilistic_unet.py:295-309); in JAX both are the same
         expression — gradient flow is controlled by ``stop_gradient`` at the
-        call site instead.
+        call site instead. ``axis_name``: inside shard_map, draw the noise as
+        the local slice of the global-batch draw (see :func:`sharded_normal`).
         """
-        eps = jax.random.normal(key, self.mu.shape, dtype=self.mu.dtype)
+        eps = sharded_normal(key, self.mu.shape, self.mu.dtype, axis_name)
         return self.mu + jnp.exp(self.log_sigma) * eps
 
-    def sample_n(self, key: jax.Array, n: int) -> jax.Array:
+    def sample_n(
+        self, key: jax.Array, n: int, axis_name: Optional[str] = None
+    ) -> jax.Array:
         """Draw ``n`` samples at once -> shape (n, ..., latent_dim).
 
         One fused sampling op replaces the reference's per-sample Python loop
         (e.g. prob_utils/my_trainer/punet_trainer.py:16).
         """
-        eps = jax.random.normal(key, (n, *self.mu.shape), dtype=self.mu.dtype)
+        eps = sharded_normal(
+            key, (n, *self.mu.shape), self.mu.dtype, axis_name, batch_axis=1
+        )
         return self.mu[None] + jnp.exp(self.log_sigma)[None] * eps
 
     def log_prob(self, z: jax.Array) -> jax.Array:

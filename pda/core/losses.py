@@ -24,6 +24,45 @@ import jax.numpy as jnp
 from .distributions import DiagGaussian, kl_divergence, mc_kl_divergence
 
 
+def _gsum(x: jax.Array, axis_name: Optional[str]) -> jax.Array:
+    """Cross-shard sum whose VALUE is global but whose GRADIENT is local.
+
+    With batches sharded over ``axis_name``, every ``sum over the batch``
+    below becomes ``stop_gradient(psum(x)) + (x - stop_gradient(x))``:
+    the forward value is exactly the global-batch sum (so nonlinear
+    reductions like the dice ratio see the same operands as the
+    single-device program), while reverse AD sees only the local ``x`` —
+    no collective is ever differentiated. Each shard's gradient is then
+    exactly d(global loss)/d(params via THIS shard's data), and the plain
+    ``psum`` over gradients in ``steps._apply_updates`` reassembles the
+    single-device gradient bit-for-bit (up to float reassociation).
+
+    Differentiating through the collective instead is a trap: under
+    ``shard_map(check_vma=False)`` (required — the Pallas kernels cannot
+    satisfy vma inference, jax 0.9) the transpose of ``psum`` is ``psum``,
+    which silently scales gradients by the shard count.
+    """
+    if axis_name is None:
+        return x
+    return jax.lax.stop_gradient(jax.lax.psum(x, axis_name)) + (
+        x - jax.lax.stop_gradient(x)
+    )
+
+
+def _gmean(x: jax.Array, axis_name: Optional[str]) -> jax.Array:
+    """Global-batch mean (equal shard sizes assumed, which shard_map's even
+    partitioning guarantees). Same value-global/gradient-local construction
+    as :func:`_gsum`: the local term carries 1/n of the gradient, matching
+    d(global mean)/d(local element) = 1/(n * local_count)."""
+    m = jnp.mean(x)
+    if axis_name is None:
+        return m
+    n = jax.lax.axis_size(axis_name)
+    return jax.lax.stop_gradient(jax.lax.pmean(m, axis_name)) + (
+        m - jax.lax.stop_gradient(m)
+    ) / n
+
+
 def bce_with_logits(logits: jax.Array, targets: jax.Array) -> jax.Array:
     """Elementwise binary cross entropy with logits (no reduction).
 
@@ -39,7 +78,10 @@ def bce_with_logits(logits: jax.Array, targets: jax.Array) -> jax.Array:
 
 
 def dice_loss_with_logits(
-    logits: jax.Array, targets: jax.Array, eps: float = 1e-7
+    logits: jax.Array,
+    targets: jax.Array,
+    eps: float = 1e-7,
+    axis_name: Optional[str] = None,
 ) -> jax.Array:
     """Channelwise soft-dice loss on sigmoided logits, summed over channels.
 
@@ -47,19 +89,28 @@ def dice_loss_with_logits(
     ``rl_swap=True``, probabilistic_unet.py:347): per channel c,
     ``1 - 2*sum(p*t) / max(sum(p^2) + sum(t^2), eps)`` with the sums running
     over batch and spatial axes, then summed over channels. Layout here is
-    NHWC (channel-last, TPU-native) vs the reference's NCHW.
+    NHWC (channel-last, TPU-native) vs the reference's NCHW. ``axis_name``:
+    inside shard_map the batch sums psum across shards BEFORE the ratio, so
+    the sharded loss equals the global-batch loss exactly.
     """
     probs = jax.nn.sigmoid(logits)
     reduce_axes = tuple(range(logits.ndim - 1))  # all but channel
-    num = 2.0 * jnp.sum(probs * targets, axis=reduce_axes)
-    denom = jnp.sum(jnp.square(probs), axis=reduce_axes) + jnp.sum(
-        jnp.square(targets), axis=reduce_axes
+    num = _gsum(2.0 * jnp.sum(probs * targets, axis=reduce_axes), axis_name)
+    denom = _gsum(
+        jnp.sum(jnp.square(probs), axis=reduce_axes)
+        + jnp.sum(jnp.square(targets), axis=reduce_axes),
+        axis_name,
     )
     score = num / jnp.clip(denom, min=eps)
     return jnp.sum(1.0 - score)
 
 
-def dice_loss(pred: jax.Array, targets: jax.Array, eps: float = 1e-7) -> jax.Array:
+def dice_loss(
+    pred: jax.Array,
+    targets: jax.Array,
+    eps: float = 1e-7,
+    axis_name: Optional[str] = None,
+) -> jax.Array:
     """Channelwise soft-dice loss on probabilities (torch_em ``DiceLoss``).
 
     Used for plain-UNet supervised / pseudo training where the model output is
@@ -67,9 +118,11 @@ def dice_loss(pred: jax.Array, targets: jax.Array, eps: float = 1e-7) -> jax.Arr
     default_segmentation_trainer; LIVECell/livecell_punet_target.py:105-106).
     """
     reduce_axes = tuple(range(pred.ndim - 1))
-    num = 2.0 * jnp.sum(pred * targets, axis=reduce_axes)
-    denom = jnp.sum(jnp.square(pred), axis=reduce_axes) + jnp.sum(
-        jnp.square(targets), axis=reduce_axes
+    num = _gsum(2.0 * jnp.sum(pred * targets, axis=reduce_axes), axis_name)
+    denom = _gsum(
+        jnp.sum(jnp.square(pred), axis=reduce_axes)
+        + jnp.sum(jnp.square(targets), axis=reduce_axes),
+        axis_name,
     )
     score = num / jnp.clip(denom, min=eps)
     return jnp.sum(1.0 - score)
@@ -87,6 +140,7 @@ def neg_elbo(
     consensus_masking: bool = False,
     analytic_kl: bool = True,
     z_posterior: Optional[jax.Array] = None,
+    axis_name: Optional[str] = None,
 ):
     """Negative evidence lower bound, exactly as the reference computes it.
 
@@ -106,12 +160,12 @@ def neg_elbo(
     Returns (neg_elbo, aux) where aux carries the recon/kl pieces for logging.
     """
     if analytic_kl:
-        kl = jnp.mean(kl_divergence(posterior, prior))
+        kl = _gmean(kl_divergence(posterior, prior), axis_name)
     else:
         if z_posterior is None:
             raise ValueError("analytic_kl=False requires the posterior draw "
                              "z_posterior that produced the reconstruction")
-        kl = jnp.mean(mc_kl_divergence(posterior, prior, z_posterior))
+        kl = _gmean(mc_kl_divergence(posterior, prior, z_posterior), axis_name)
 
     if consensus_masking and consensus_mask is not None:
         rec_in = reconstruction_logits * consensus_mask
@@ -121,9 +175,9 @@ def neg_elbo(
         seg_in = segm
 
     if rl_swap:
-        recon = dice_loss_with_logits(rec_in, seg_in)
+        recon = dice_loss_with_logits(rec_in, seg_in, axis_name=axis_name)
     else:
-        recon = jnp.sum(bce_with_logits(rec_in, seg_in))
+        recon = _gsum(jnp.sum(bce_with_logits(rec_in, seg_in)), axis_name)
 
     out = recon + beta * kl
     return out, {"recon_loss": recon, "kl": kl}

@@ -42,11 +42,14 @@ def dice_score_jnp(
     groundtruth: jax.Array,
     threshold_seg: Optional[float] = None,
     threshold_gt: Optional[float] = None,
+    axis_name: Optional[str] = None,
 ) -> jax.Array:
     """Jittable twin of :func:`dice_score` for on-device validation.
 
     Lets the MC-validation metric (reference punet_trainer.py:70-86, which
     round-trips to host numpy per batch) stay inside the XLA program.
+    ``axis_name``: inside shard_map, the sums psum across batch shards before
+    the ratio — the sharded score equals the global-batch score exactly.
     """
     seg = segmentation if threshold_seg is None else (segmentation > threshold_seg)
     gt = groundtruth if threshold_gt is None else (groundtruth > threshold_gt)
@@ -54,4 +57,7 @@ def dice_score_jnp(
     gt = gt.astype(jnp.float32)
     nom = 2.0 * jnp.sum(gt * seg)
     denom = jnp.sum(gt) + jnp.sum(seg)
+    if axis_name is not None:
+        nom = jax.lax.psum(nom, axis_name)
+        denom = jax.lax.psum(denom, axis_name)
     return nom / (denom + _EPS)

@@ -50,6 +50,9 @@ def _read_image(path: str) -> np.ndarray:
     return img
 
 
+_IMAGE_EXTS = (".tif", ".tiff", ".png", ".bmp")
+
+
 def _glob_images(pattern: str):
     """Glob input images, expanding any matched DIRECTORY to its images.
 
@@ -59,10 +62,20 @@ def _glob_images(pattern: str):
     paths = []
     for p in sorted(glob(pattern)):
         if os.path.isdir(p):
-            paths.extend(sorted(glob(os.path.join(p, "*.tif"))))
+            paths.extend(
+                sorted(
+                    q
+                    for q in glob(os.path.join(p, "*"))
+                    if q.lower().endswith(_IMAGE_EXTS)
+                )
+            )
         else:
             paths.append(p)
     return paths
+
+
+def _stem(filename: str) -> str:
+    return os.path.splitext(filename)[0]
 
 
 def _write_tiff(path: str, data: np.ndarray):
@@ -154,24 +167,37 @@ def punet_prediction(
     ``jax.sharding.Mesh`` shards the tile batch over its devices (spatially
     parallel inference over ICI).
     """
+    from contextlib import nullcontext
+
     os.makedirs(output_pred_path, exist_ok=True)
+    pin = nullcontext()
     if mesh is not None:
+        from ..models.blocks import force_xla_conv_path
         from ..parallel.mesh import replicated
 
         params = jax.device_put(params, replicated(mesh))
+        if mesh.devices.size > 1:
+            # the fused Pallas conv kernels are opaque to GSPMD — trace with
+            # XLA convs so the tile-batch sharding constraint actually splits
+            # work across the mesh instead of replicating it
+            pin = force_xla_conv_path(
+                "note: mesh-sharded inference forces the XLA conv path; "
+                "PDA_PALLAS_CONV=1 is ignored here"
+            )
     key = jax.random.PRNGKey(seed)
-    for img_path in _glob_images(input_image_path):
-        img_name = os.path.basename(img_path)
-        img = _read_image(img_path)[..., None]
-        key, sub = jax.random.split(key)
-        pred = _tiled_punet_probs(
-            model, params, jnp.asarray(img), sub, prior_samples, block_shape,
-            halo, mesh,
-        )
-        out = os.path.join(output_pred_path, f"{img_name[:-4]}.tif")
-        _write_tiff(out, np.asarray(pred)[..., 0].astype(np.float32))
-        if verbose:
-            print(f"Saved image at '{out}'")
+    with pin:
+        for img_path in _glob_images(input_image_path):
+            img_name = os.path.basename(img_path)
+            img = _read_image(img_path)[..., None]
+            key, sub = jax.random.split(key)
+            pred = _tiled_punet_probs(
+                model, params, jnp.asarray(img), sub, prior_samples,
+                block_shape, halo, mesh,
+            )
+            out = os.path.join(output_pred_path, f"{_stem(img_name)}.tif")
+            _write_tiff(out, np.asarray(pred)[..., 0].astype(np.float32))
+            if verbose:
+                print(f"Saved image at '{out}'")
 
 
 def punet_pseudo_prediction(
@@ -250,7 +276,7 @@ def unet_prediction(
             pred = _tiled_unet_probs(model, params, img, block_shape, halo)
         else:
             pred = _padded_unet_probs(model, params, img)
-        out = os.path.join(output_path, f"{img_name[:-4]}.tif")
+        out = os.path.join(output_path, f"{_stem(img_name)}.tif")
         _write_tiff(out, np.asarray(pred)[..., 0].astype(np.float32))
         if verbose:
             print(f"Saved image at '{out}'")

@@ -15,6 +15,7 @@ from __future__ import annotations
 
 import functools
 import os
+from contextlib import contextmanager
 from typing import Sequence
 
 import jax
@@ -225,6 +226,28 @@ def _bwd_row_tile(h: int, cin: int, c: int) -> int:
     else:
         rt = min(16 if m > 256 else 32, h)
     return _fit_tile(h, rt)
+
+
+@contextmanager
+def force_xla_conv_path(note: str = ""):
+    """Pin the plain XLA conv path (PDA_PALLAS_CONV=0) while tracing under a
+    multi-device mesh: the fused Pallas kernels are opaque custom calls that
+    XLA's SPMD partitioner cannot split (no custom_partitioning registered),
+    so GSPMD would replicate their operands and every device would redundantly
+    compute the full batch. Restores the caller's setting on exit."""
+    import os
+
+    prev = os.environ.get("PDA_PALLAS_CONV")
+    if prev == "1" and note:
+        print(note)
+    os.environ["PDA_PALLAS_CONV"] = "0"
+    try:
+        yield
+    finally:
+        if prev is None:
+            os.environ.pop("PDA_PALLAS_CONV", None)
+        else:
+            os.environ["PDA_PALLAS_CONV"] = prev
 
 
 def pallas_conv_enabled() -> bool:

@@ -406,6 +406,7 @@ def mc_decode_logits(
     key: jax.Array,
     n_samples: int,
     feat_geom=None,
+    axis_name=None,
 ) -> jax.Array:
     """(n_samples, B, H, W, C) logits from one feature map + n latent draws.
 
@@ -414,8 +415,10 @@ def mc_decode_logits(
     range(n)]`` loops (punet_trainer.py:16, mean_teacher_trainer.py:74).
     With ``feat_geom`` (from ``encode(flat_features=True)``) the tail runs on
     the flat layout and only the 1-channel per-sample logits convert to image.
+    ``axis_name``: inside shard_map, the latent draws come from the global-
+    batch noise slice (pda.core.distributions.sharded_normal).
     """
-    zs = dist.sample_n(key, n_samples)  # (n, B, L)
+    zs = dist.sample_n(key, n_samples, axis_name=axis_name)  # (n, B, L)
     if feat_geom is not None:
         fc = params["fcomb"]
         term = fcomb_feature_term_flat(model, fc, features, feat_geom[0])

@@ -26,6 +26,39 @@ from .state import TrainState
 BEST = "best"
 LATEST = "latest"
 
+# Checkpoint file layout: magic + u64-le meta length + meta JSON + msgpack
+# payload. Embedding the metadata makes one os.replace the single commit
+# point — a crash can never pair a new state with a stale sidecar. The .json
+# sidecar is still written (after the commit point) for human inspection and
+# legacy readers, but loads prefer the embedded copy.
+_MAGIC = b"PDACKPT1"
+
+
+def _pack(payload: bytes, meta: dict) -> bytes:
+    meta_b = json.dumps(meta).encode()
+    return _MAGIC + len(meta_b).to_bytes(8, "little") + meta_b + payload
+
+
+def _unpack(raw: bytes) -> tuple[bytes, Optional[dict]]:
+    if raw[: len(_MAGIC)] == _MAGIC:
+        off = len(_MAGIC)
+        n = int.from_bytes(raw[off : off + 8], "little")
+        meta = json.loads(raw[off + 8 : off + 8 + n].decode())
+        return raw[off + 8 + n :], meta
+    return raw, None  # legacy file: raw msgpack, meta only in the sidecar
+
+
+def _atomic_write(path: str, data: bytes):
+    """write-tmp + flush + fsync + rename: survives both process crashes and
+    (on journaled filesystems with delayed allocation) power loss — without
+    the fsync the rename can be journaled before the payload blocks land,
+    leaving a truncated file."""
+    with open(path + ".tmp", "wb") as f:
+        f.write(data)
+        f.flush()
+        os.fsync(f.fileno())
+    os.replace(path + ".tmp", path)
+
 
 def checkpoint_dir(name: str, save_root: Optional[str] = None) -> str:
     root = "./checkpoints" if save_root is None else os.path.join(save_root, "checkpoints")
@@ -50,11 +83,6 @@ def save_checkpoint(
     os.makedirs(directory, exist_ok=True)
     path = os.path.join(directory, f"{which}.ckpt")
     payload = serialization.to_bytes(_to_host(state))
-    # Write-then-rename: a crash mid-write must never corrupt the checkpoint
-    # resume depends on (``fit(overwrite_training=False)`` reads latest.ckpt).
-    with open(path + ".tmp", "wb") as f:
-        f.write(payload)
-    os.replace(path + ".tmp", path)
     meta = {
         "step": int(state.step),
         "current_metric": float(current_metric),
@@ -64,6 +92,11 @@ def save_checkpoint(
     }
     if extra:
         meta.update(extra)
+    # State + meta committed as ONE atomically-renamed file: resume
+    # (``fit(overwrite_training=False)``) can never observe a new state paired
+    # with stale bookkeeping or a truncated write.
+    _atomic_write(path, _pack(payload, meta))
+    # human-readable sidecar, written after the commit point
     meta_path = os.path.join(directory, f"{which}.json")
     with open(meta_path + ".tmp", "w") as f:
         json.dump(meta, f)
@@ -77,12 +110,14 @@ def load_checkpoint(
     """Restore a checkpoint into the structure of ``template``."""
     path = os.path.join(directory, f"{which}.ckpt")
     with open(path, "rb") as f:
-        state = serialization.from_bytes(template, f.read())
-    meta_path = os.path.join(directory, f"{which}.json")
-    meta = {}
-    if os.path.exists(meta_path):
-        with open(meta_path) as f:
-            meta = json.load(f)
+        payload, meta = _unpack(f.read())
+    state = serialization.from_bytes(template, payload)
+    if meta is None:  # legacy checkpoint: meta lives only in the sidecar
+        meta_path = os.path.join(directory, f"{which}.json")
+        meta = {}
+        if os.path.exists(meta_path):
+            with open(meta_path) as f:
+                meta = json.load(f)
     return state, meta
 
 
@@ -97,7 +132,8 @@ def load_params(directory: str, params_template, *, which: str = BEST, key: str 
     """
     path = os.path.join(directory, f"{which}.ckpt")
     with open(path, "rb") as f:
-        raw = serialization.msgpack_restore(f.read())
+        payload, _ = _unpack(f.read())
+    raw = serialization.msgpack_restore(payload)
     subtree = raw[key]
     return serialization.from_state_dict(params_template, subtree)
 

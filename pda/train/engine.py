@@ -35,7 +35,7 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
-from ..parallel.mesh import SPACE_AXIS, batch_sharding, replicated, shard_batch
+from ..parallel.mesh import DATA_AXIS, batch_sharding, replicated, shard_batch
 from . import steps as steps_lib
 from .checkpoint import (
     BEST,
@@ -131,6 +131,65 @@ class Trainer:
     def _example_batch(self):
         return next(iter(self.train_loader))
 
+    def _dp_shard_map(self) -> bool:
+        """Run steps through ``jax.shard_map`` (manual SPMD) for data
+        parallelism? True on a multi-device 1-D ``data`` mesh unless
+        ``PDA_DP_IMPL=gspmd``. Manual mode keeps the fused Pallas conv kernels
+        alive per shard (GSPMD cannot partition the opaque custom calls and
+        would replicate their operands); the step factories' ``axis_name``
+        psums make the sharded step equal the single-device step exactly.
+        The 2-D (data, space) mesh stays on GSPMD — the spatial halo
+        exchanges are the partitioner's job (pda/parallel/mesh.py).
+        """
+        return (
+            self.mesh is not None
+            and self.mesh.devices.size > 1
+            and tuple(self.mesh.axis_names) == (DATA_AXIS,)
+            and os.environ.get("PDA_DP_IMPL", "shard_map") != "gspmd"
+        )
+
+    @property
+    def _axis_name(self) -> Optional[str]:
+        """Mesh axis the step functions psum over (None outside shard_map)."""
+        return DATA_AXIS if self._dp_shard_map() else None
+
+    def _wrap_step(self, step, *, donate: bool):
+        """Jit a step; on the shard_map path, wrap it per batch arity
+        (train/val tuples differ) with batch leaves sharded over ``data``
+        and state/metrics replicated.
+
+        ``check_vma=False`` is required: the Pallas kernels cannot satisfy
+        vma inference (jax 0.9). Gradient correctness under the legacy
+        transpose rules is guaranteed by construction instead — the losses
+        never differentiate a collective (``pda.core.losses._gsum``), so
+        each shard's gradient is its exact local contribution and the
+        ``psum`` in ``steps._apply_updates`` reassembles the single-device
+        gradient (pinned by tests/test_parallel.py::TestShardMapDP)."""
+        if not self._dp_shard_map():
+            return jax.jit(step, donate_argnums=0) if donate else jax.jit(step)
+        from jax.sharding import PartitionSpec as P
+
+        cache: dict = {}
+
+        def call(state, *batch):
+            specs = tuple(
+                P(DATA_AXIS) if np.ndim(b) > 0 else P() for b in batch
+            )
+            if specs not in cache:
+                sm = jax.shard_map(
+                    step,
+                    mesh=self.mesh,
+                    in_specs=(P(), *specs),
+                    out_specs=(P(), P()),
+                    check_vma=False,
+                )
+                cache[specs] = (
+                    jax.jit(sm, donate_argnums=0) if donate else jax.jit(sm)
+                )
+            return cache[specs](state, *batch)
+
+        return call
+
     def initialize(self):
         if self.state is not None:
             return
@@ -149,8 +208,8 @@ class Trainer:
             self.state = jax.device_put(self.state, replicated(self.mesh))
         elif jax.default_backend() != "cpu":
             self.state = jax.device_put(self.state, jax.devices()[0])
-        self._train_step_jit = jax.jit(self.make_train_step(), donate_argnums=0)
-        self._val_step_jit = jax.jit(self.make_val_step())
+        self._train_step_jit = self._wrap_step(self.make_train_step(), donate=True)
+        self._val_step_jit = self._wrap_step(self.make_val_step(), donate=False)
         self._post_initialize()
 
     def _post_initialize(self):
@@ -163,30 +222,31 @@ class Trainer:
 
     @contextmanager
     def _conv_path_pin(self):
-        """On a mesh with a ``space`` axis, pin the plain XLA conv path for
-        the duration of any tracing (fit/validate): the fused Pallas kernels
-        are opaque custom calls XLA's SPMD partitioner cannot split
-        spatially (pda/parallel/mesh.py module docstring). The env var is
-        read at trace time, FORCED to 0 here even if the caller exported
-        PDA_PALLAS_CONV=1, and restored on exit so later non-spatial work
-        in the same process keeps the fused-kernel fast path."""
-        if self.mesh is None or SPACE_AXIS not in self.mesh.axis_names:
+        """On a multi-device mesh running through GSPMD, pin the plain XLA
+        conv path for the duration of any tracing (fit/validate): the fused
+        Pallas kernels are opaque custom calls XLA's SPMD partitioner cannot
+        split along ANY axis — spatially under a ``space`` axis, but also
+        along the batch under a pure ``data`` mesh, where GSPMD would
+        replicate the operands and make every device compute the full batch.
+        The shard_map data-parallel path (``_dp_shard_map``) needs no pin:
+        manual mode runs the kernels per shard. The env var is read at trace
+        time, FORCED to 0 here even if the caller exported PDA_PALLAS_CONV=1,
+        and restored on exit so later single-device work in the same process
+        keeps the fused-kernel fast path."""
+        if (
+            self.mesh is None
+            or self.mesh.devices.size <= 1
+            or self._dp_shard_map()
+        ):
             yield
             return
-        prev = os.environ.get("PDA_PALLAS_CONV")
-        if prev == "1":
-            print(
-                "note: the mesh's 'space' axis forces the XLA conv path; "
-                "PDA_PALLAS_CONV=1 is ignored for this trainer"
-            )
-        os.environ["PDA_PALLAS_CONV"] = "0"
-        try:
+        from ..models.blocks import force_xla_conv_path
+
+        with force_xla_conv_path(
+            "note: a multi-device mesh forces the XLA conv path; "
+            "PDA_PALLAS_CONV=1 is ignored for this trainer"
+        ):
             yield
-        finally:
-            if prev is None:
-                os.environ.pop("PDA_PALLAS_CONV", None)
-            else:
-                os.environ["PDA_PALLAS_CONV"] = prev
 
     # -- fit loop --------------------------------------------------------------
 
@@ -267,9 +327,15 @@ class Trainer:
 
             self._train_time += time.time() - t_start
             t_start = time.time()
-            self.save_checkpoint(LATEST, current)
-            if current < self._best_metric:
+            # update the best metric BEFORE writing latest: latest.ckpt's
+            # metadata must reflect this epoch's comparison, or a resume from
+            # latest would restore a stale best_metric and let a later, worse
+            # epoch overwrite best.ckpt
+            improved = current < self._best_metric
+            if improved:
                 self._best_metric = current
+            self.save_checkpoint(LATEST, current)
+            if improved:
                 self.save_checkpoint(BEST, current)
 
         if pending is not None and self.logger is not None:
@@ -369,10 +435,14 @@ class UNetTrainer(Trainer):
     image_tags = ("input", "target")
 
     def make_train_step(self):
-        return steps_lib.make_supervised_unet_step(self.model, self.tx)
+        return steps_lib.make_supervised_unet_step(
+            self.model, self.tx, axis_name=self._axis_name
+        )
 
     def make_val_step(self):
-        return steps_lib.make_supervised_unet_val_step(self.model)
+        return steps_lib.make_supervised_unet_val_step(
+            self.model, axis_name=self._axis_name
+        )
 
     def init_params(self, key, example_batch):
         x = jnp.asarray(np.asarray(example_batch[0]))
@@ -385,10 +455,12 @@ class PUNetTrainer(_PUNetInitMixin, Trainer):
     image_tags = ("input", "target")
 
     def make_train_step(self):
-        return steps_lib.make_supervised_punet_step(self.model, self.tx)
+        return steps_lib.make_supervised_punet_step(
+            self.model, self.tx, axis_name=self._axis_name
+        )
 
     def make_val_step(self):
-        return steps_lib.make_punet_val_step(self.model)
+        return steps_lib.make_punet_val_step(self.model, axis_name=self._axis_name)
 
 
 class PseudoTrainer(Trainer):
@@ -398,10 +470,14 @@ class PseudoTrainer(Trainer):
     image_tags = ("input", "pseudo_labels", "consensus")
 
     def make_train_step(self):
-        return steps_lib.make_pseudo_unet_step(self.model, self.tx)
+        return steps_lib.make_pseudo_unet_step(
+            self.model, self.tx, axis_name=self._axis_name
+        )
 
     def make_val_step(self):
-        return steps_lib.make_pseudo_unet_val_step(self.model)
+        return steps_lib.make_pseudo_unet_val_step(
+            self.model, axis_name=self._axis_name
+        )
 
     def init_params(self, key, example_batch):
         x = jnp.asarray(np.asarray(example_batch[0]))
@@ -415,10 +491,14 @@ class PseudoTrainerPUNet(_PUNetInitMixin, Trainer):
     image_tags = ("input", "pseudo_labels", "consensus")
 
     def make_train_step(self):
-        return steps_lib.make_pseudo_punet_step(self.model, self.tx)
+        return steps_lib.make_pseudo_punet_step(
+            self.model, self.tx, axis_name=self._axis_name
+        )
 
     def make_val_step(self):
-        return steps_lib.make_pseudo_punet_val_step(self.model)
+        return steps_lib.make_pseudo_punet_val_step(
+            self.model, axis_name=self._axis_name
+        )
 
 
 class MeanTeacherTrainer(_PUNetInitMixin, Trainer):
@@ -448,11 +528,14 @@ class MeanTeacherTrainer(_PUNetInitMixin, Trainer):
             self.tx,
             momentum=self.momentum,
             do_consensus_masking=self.do_consensus_masking,
+            axis_name=self._axis_name,
         )
 
     def make_val_step(self):
         return steps_lib.make_mean_teacher_val_step(
-            self.model, do_consensus_masking=self.do_consensus_masking
+            self.model,
+            do_consensus_masking=self.do_consensus_masking,
+            axis_name=self._axis_name,
         )
 
     def _post_initialize(self):
@@ -488,11 +571,14 @@ class FixMatchTrainer(_PUNetInitMixin, Trainer):
             self.tx,
             source_distribution=self.source_distribution,
             do_consensus_masking=self.do_consensus_masking,
+            axis_name=self._axis_name,
         )
 
     def make_val_step(self):
         return steps_lib.make_fixmatch_val_step(
-            self.model, do_consensus_masking=self.do_consensus_masking
+            self.model,
+            do_consensus_masking=self.do_consensus_masking,
+            axis_name=self._axis_name,
         )
 
     def _post_initialize(self):
@@ -552,11 +638,14 @@ class AdaMTTrainer(_JointTrainer):
             self.tx,
             momentum=self.momentum,
             do_consensus_masking=self.do_consensus_masking,
+            axis_name=self._axis_name,
         )
 
     def make_val_step(self):
         return steps_lib.make_adamt_val_step(
-            self.model, do_consensus_masking=self.do_consensus_masking
+            self.model,
+            do_consensus_masking=self.do_consensus_masking,
+            axis_name=self._axis_name,
         )
 
 
@@ -572,10 +661,15 @@ class AdaMatchTrainer(_JointTrainer):
 
     def make_train_step(self):
         return steps_lib.make_adamatch_step(
-            self.model, self.tx, do_consensus_masking=self.do_consensus_masking
+            self.model,
+            self.tx,
+            do_consensus_masking=self.do_consensus_masking,
+            axis_name=self._axis_name,
         )
 
     def make_val_step(self):
         return steps_lib.make_adamatch_val_step(
-            self.model, do_consensus_masking=self.do_consensus_masking
+            self.model,
+            do_consensus_masking=self.do_consensus_masking,
+            axis_name=self._axis_name,
         )

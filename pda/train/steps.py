@@ -52,15 +52,25 @@ N_MC_VAL = 8  # reference: punet_trainer.py:70
 # ---------------------------------------------------------------------------
 
 
-def _punet_loss(model: ProbabilisticUnet, params, x, segm, key, consm=None):
+def _punet_loss(
+    model: ProbabilisticUnet, params, x, segm, key, consm=None, axis_name=None
+):
     """-elbo + 1e-5 * l2_reg — the loss every PUNet trainer assembles
-    (reference punet_trainer.py:29-34)."""
+    (reference punet_trainer.py:29-34).
+
+    Returns ``(objective, aux)`` where ``aux["loss"]`` is the TRUE loss value.
+    With ``axis_name`` (inside shard_map over batch shards) the in-loss psums
+    make the data terms global already, but the psum the caller applies to the
+    GRADIENTS would multiply the parameter-only l2 term by the shard count —
+    so the differentiation objective carries ``reg / n_shards`` while
+    ``aux["loss"]`` reports the full value.
+    """
     from ..models.punet import fcomb_decode_flat
 
     enc = model.apply(
         {"params": params}, x, segm, flat_features=True, method="encode"
     )
-    z_post = enc.posterior.sample(key)
+    z_post = enc.posterior.sample(key, axis_name=axis_name)
     if enc.feat_geom is not None:
         recon = fcomb_decode_flat(
             model, params["fcomb"], enc.features, enc.feat_geom, z_post
@@ -80,9 +90,15 @@ def _punet_loss(model: ProbabilisticUnet, params, x, segm, key, consm=None):
         consensus_masking=model.consensus_masking,
         analytic_kl=getattr(model, "analytic_kl", True),
         z_posterior=z_post,
+        axis_name=axis_name,
     )
-    loss = nelbo + REG_WEIGHT * punet_l2_reg(params)
-    return loss, aux
+    reg = punet_l2_reg(params)
+    loss = nelbo + REG_WEIGHT * reg
+    aux = {"loss": loss, **aux}
+    if axis_name is None:
+        return loss, aux
+    n = jax.lax.axis_size(axis_name)
+    return nelbo + (REG_WEIGHT / n) * reg, aux
 
 
 #: Use the Pallas fused MC kernel inside train steps. Default False — XLA's
@@ -109,7 +125,7 @@ def _pallas_mc_enabled(model) -> bool:
     return bool(USE_PALLAS_MC) and model.num_classes == 1
 
 
-def _mc_pseudo(model, params, x, key, n_samples, masking):
+def _mc_pseudo(model, params, x, key, n_samples, masking, axis_name=None):
     """Teacher-style MC pseudo-label + consensus, gradient-free.
 
     reference mean_teacher_trainer.py:72-88 (sample_from_teacher) /
@@ -118,28 +134,41 @@ def _mc_pseudo(model, params, x, key, n_samples, masking):
     On TPU the per-sample Fcomb tail + consensus reduction runs as a fused
     Pallas kernel (pda.kernels.mc_consensus) that never materializes the
     per-sample logit stack in HBM; elsewhere it is the vmapped XLA path.
+    Under shard_map (``axis_name``) the XLA path is used so the latent draws
+    come from the global-batch noise slice (exact mesh equivalence).
     """
-    if _pallas_mc_enabled(model):
+    if _pallas_mc_enabled(model) and axis_name is None:
         from ..kernels.mc_consensus import mc_pseudo_fused
 
         y, z = mc_pseudo_fused(model, params, x, key, n_samples, masking)
         return jax.lax.stop_gradient(y), jax.lax.stop_gradient(z)
     params = jax.lax.stop_gradient(params)
     enc = model.apply({"params": params}, x, method="encode")
-    logits = mc_decode_logits(model, params, enc.features, enc.prior, key, n_samples)
+    logits = mc_decode_logits(
+        model, params, enc.features, enc.prior, key, n_samples,
+        axis_name=axis_name,
+    )
     y, z = consensus_from_logits(logits, masking=masking)
     return jax.lax.stop_gradient(y), jax.lax.stop_gradient(z)
 
 
-def _mc_mean_probs(model, params, x, key, n_samples):
+def _mc_mean_probs(model, params, x, key, n_samples, axis_name=None):
     """Mean sigmoid of n prior samples (validation predictor,
     reference punet_trainer.py:70-78)."""
     enc = model.apply({"params": params}, x, method="encode")
-    logits = mc_decode_logits(model, params, enc.features, enc.prior, key, n_samples)
+    logits = mc_decode_logits(
+        model, params, enc.features, enc.prior, key, n_samples,
+        axis_name=axis_name,
+    )
     return jnp.mean(jax.nn.sigmoid(logits), axis=0)
 
 
-def _apply_updates(tx, state: TrainState, grads, rng) -> TrainState:
+def _apply_updates(tx, state: TrainState, grads, rng, axis_name=None) -> TrainState:
+    if axis_name is not None:
+        # each shard holds its local-data contribution to the global-batch
+        # gradient (the loss psums run in the forward); sum them so every
+        # shard applies the exact single-device update
+        grads = jax.lax.psum(grads, axis_name)
     updates, opt_state = tx.update(grads, state.opt_state, state.params)
     params = optax.apply_updates(state.params, updates)
     return state.replace(
@@ -152,33 +181,42 @@ def _apply_updates(tx, state: TrainState, grads, rng) -> TrainState:
 # ---------------------------------------------------------------------------
 
 
-def make_supervised_punet_step(model: ProbabilisticUnet, tx):
-    """PUNetTrainer._train_epoch_impl equivalent (punet_trainer.py:19-50)."""
+def make_supervised_punet_step(model: ProbabilisticUnet, tx, *, axis_name=None):
+    """PUNetTrainer._train_epoch_impl equivalent (punet_trainer.py:19-50).
+
+    ``axis_name`` (all step factories): name of the mesh axis the batch is
+    sharded over when the engine runs the step inside ``jax.shard_map`` —
+    the losses psum their batch reductions and the gradients psum across
+    shards, reproducing the single-device step exactly while the fused
+    Pallas kernels keep running per shard (pda/parallel/mesh.py).
+    """
 
     def step(state: TrainState, x, y):
         rng, k_post = jax.random.split(state.rng)
 
         def loss_fn(params):
-            return _punet_loss(model, params, x, y, k_post)
+            return _punet_loss(model, params, x, y, k_post, axis_name=axis_name)
 
-        (loss, aux), grads = jax.value_and_grad(loss_fn, has_aux=True)(state.params)
-        state = _apply_updates(tx, state, grads, rng)
-        return state, {"loss": loss, **aux}
+        (_, aux), grads = jax.value_and_grad(loss_fn, has_aux=True)(state.params)
+        state = _apply_updates(tx, state, grads, rng, axis_name)
+        return state, aux
 
     return step
 
 
-def make_punet_val_step(model: ProbabilisticUnet, n_samples: int = N_MC_VAL):
+def make_punet_val_step(
+    model: ProbabilisticUnet, n_samples: int = N_MC_VAL, *, axis_name=None
+):
     """PUNetTrainer._validate_impl equivalent (punet_trainer.py:52-97):
     train-style loss + MC-n mean-prob dice vs target; metric = 1 - dice."""
 
     def step(state: TrainState, x, y):
         rng, k_post, k_mc = jax.random.split(state.rng, 3)
-        loss, _ = _punet_loss(model, state.params, x, y, k_post)
-        pred = _mc_mean_probs(model, state.params, x, k_mc, n_samples)
-        dice = dice_score_jnp(pred, y)
+        _, aux = _punet_loss(model, state.params, x, y, k_post, axis_name=axis_name)
+        pred = _mc_mean_probs(model, state.params, x, k_mc, n_samples, axis_name)
+        dice = dice_score_jnp(pred, y, axis_name=axis_name)
         state = state.replace(rng=rng)
-        return state, {"loss": loss, "dice": dice, "metric": 1.0 - dice}
+        return state, {"loss": aux["loss"], "dice": dice, "metric": 1.0 - dice}
 
     return step
 
@@ -188,7 +226,7 @@ def make_punet_val_step(model: ProbabilisticUnet, n_samples: int = N_MC_VAL):
 # ---------------------------------------------------------------------------
 
 
-def make_pseudo_unet_step(model, tx):
+def make_pseudo_unet_step(model, tx, *, axis_name=None):
     """PseudoTrainer equivalent: UNet on fixed pseudo-labels with
     consensus-masked dice loss(pred*z, y*z) (punet_target_trainer.py:26-29)."""
 
@@ -197,25 +235,25 @@ def make_pseudo_unet_step(model, tx):
 
         def loss_fn(params):
             pred = model.apply({"params": params}, x)
-            return dice_loss(pred * z, y * z)
+            return dice_loss(pred * z, y * z, axis_name=axis_name)
 
         loss, grads = jax.value_and_grad(loss_fn)(state.params)
-        state = _apply_updates(tx, state, grads, rng)
+        state = _apply_updates(tx, state, grads, rng, axis_name)
         return state, {"loss": loss}
 
     return step
 
 
-def make_pseudo_unet_val_step(model):
+def make_pseudo_unet_val_step(model, *, axis_name=None):
     def step(state: TrainState, x, y, z):
         pred = model.apply({"params": state.params}, x)
-        loss = dice_loss(pred * z, y * z)
+        loss = dice_loss(pred * z, y * z, axis_name=axis_name)
         return state, {"loss": loss, "metric": loss}
 
     return step
 
 
-def make_pseudo_punet_step(model: ProbabilisticUnet, tx):
+def make_pseudo_punet_step(model: ProbabilisticUnet, tx, *, axis_name=None):
     """PseudoTrainerPUNet equivalent: ELBO on precomputed pseudo-labels y with
     consensus response z from disk (punet_target_trainer.py:99-133)."""
 
@@ -223,25 +261,31 @@ def make_pseudo_punet_step(model: ProbabilisticUnet, tx):
         rng, k_post = jax.random.split(state.rng)
 
         def loss_fn(params):
-            return _punet_loss(model, params, x, y, k_post, consm=z)
+            return _punet_loss(
+                model, params, x, y, k_post, consm=z, axis_name=axis_name
+            )
 
-        (loss, aux), grads = jax.value_and_grad(loss_fn, has_aux=True)(state.params)
-        state = _apply_updates(tx, state, grads, rng)
-        return state, {"loss": loss, **aux}
+        (_, aux), grads = jax.value_and_grad(loss_fn, has_aux=True)(state.params)
+        state = _apply_updates(tx, state, grads, rng, axis_name)
+        return state, aux
 
     return step
 
 
-def make_pseudo_punet_val_step(model: ProbabilisticUnet, n_samples: int = N_MC_VAL):
+def make_pseudo_punet_val_step(
+    model: ProbabilisticUnet, n_samples: int = N_MC_VAL, *, axis_name=None
+):
     """punet_target_trainer.py:135-183: consensus-weighted loss + MC dice vs y."""
 
     def step(state: TrainState, x, y, z):
         rng, k_post, k_mc = jax.random.split(state.rng, 3)
-        loss, _ = _punet_loss(model, state.params, x, y, k_post, consm=z)
-        pred = _mc_mean_probs(model, state.params, x, k_mc, n_samples)
-        dice = dice_score_jnp(pred, y)
+        _, aux = _punet_loss(
+            model, state.params, x, y, k_post, consm=z, axis_name=axis_name
+        )
+        pred = _mc_mean_probs(model, state.params, x, k_mc, n_samples, axis_name)
+        dice = dice_score_jnp(pred, y, axis_name=axis_name)
         state = state.replace(rng=rng)
-        return state, {"loss": loss, "dice": dice, "metric": 1.0 - dice}
+        return state, {"loss": aux["loss"], "dice": dice, "metric": 1.0 - dice}
 
     return step
 
@@ -258,6 +302,7 @@ def make_mean_teacher_step(
     momentum: float = 0.999,
     do_consensus_masking: bool = False,
     n_samples: int = N_MC_TRAIN,
+    axis_name=None,
 ):
     """MeanTeacherTrainer._train_epoch_impl equivalent
     (mean_teacher_trainer.py:95-140): teacher MC-16 on weak view x1 ->
@@ -271,17 +316,20 @@ def make_mean_teacher_step(
     def step(state: TrainState, x, x1, x2, gt):
         rng, k_t, k_post = jax.random.split(state.rng, 3)
         y, z = _mc_pseudo(
-            model, state.teacher_params, x1, k_t, n_samples, do_consensus_masking
+            model, state.teacher_params, x1, k_t, n_samples,
+            do_consensus_masking, axis_name,
         )
 
         def loss_fn(params):
-            return _punet_loss(model, params, x2, y, k_post, consm=z)
+            return _punet_loss(
+                model, params, x2, y, k_post, consm=z, axis_name=axis_name
+            )
 
-        (loss, aux), grads = jax.value_and_grad(loss_fn, has_aux=True)(state.params)
-        state = _apply_updates(tx, state, grads, rng)
+        (_, aux), grads = jax.value_and_grad(loss_fn, has_aux=True)(state.params)
+        state = _apply_updates(tx, state, grads, rng, axis_name)
         teacher = ema_update(state.teacher_params, state.params, momentum)
         state = state.replace(teacher_params=teacher)
-        return state, {"loss": loss, **aux}
+        return state, aux
 
     return step
 
@@ -291,6 +339,7 @@ def make_mean_teacher_val_step(
     *,
     do_consensus_masking: bool = False,
     n_samples: int = N_MC_TRAIN,
+    axis_name=None,
 ):
     """mean_teacher_trainer.py:142-191: teacher pseudo on x1, loss on (x2,y,z),
     model MC mean-prob dice vs pseudo y (metric) and vs true gt (gt_metric)."""
@@ -298,15 +347,18 @@ def make_mean_teacher_val_step(
     def step(state: TrainState, x, x1, x2, gt):
         rng, k_t, k_post, k_mc = jax.random.split(state.rng, 4)
         y, z = _mc_pseudo(
-            model, state.teacher_params, x1, k_t, n_samples, do_consensus_masking
+            model, state.teacher_params, x1, k_t, n_samples,
+            do_consensus_masking, axis_name,
         )
-        loss, _ = _punet_loss(model, state.params, x2, y, k_post, consm=z)
-        pred = _mc_mean_probs(model, state.params, x2, k_mc, n_samples)
-        dice = dice_score_jnp(pred, y)
-        gt_dice = dice_score_jnp(pred, gt)
+        _, aux = _punet_loss(
+            model, state.params, x2, y, k_post, consm=z, axis_name=axis_name
+        )
+        pred = _mc_mean_probs(model, state.params, x2, k_mc, n_samples, axis_name)
+        dice = dice_score_jnp(pred, y, axis_name=axis_name)
+        gt_dice = dice_score_jnp(pred, gt, axis_name=axis_name)
         state = state.replace(rng=rng)
         return state, {
-            "loss": loss,
+            "loss": aux["loss"],
             "dice": dice,
             "metric": 1.0 - dice,
             "gt_metric": 1.0 - gt_dice,
@@ -327,6 +379,7 @@ def make_fixmatch_step(
     source_distribution: Optional[jnp.ndarray] = None,
     do_consensus_masking: bool = False,
     n_samples: int = N_MC_TRAIN,
+    axis_name=None,
 ):
     """FixMatchTrainer._train_epoch_impl equivalent (fixmatch_trainer.py:61-109):
     the SAME model (gradient-stopped) does MC-16 on the weak view -> pseudo y,
@@ -335,20 +388,26 @@ def make_fixmatch_step(
 
     def step(state: TrainState, x, x1, x2, gt):
         rng, k_w, k_post = jax.random.split(state.rng, 3)
-        y, z = _mc_pseudo(model, state.params, x1, k_w, n_samples, do_consensus_masking)
+        y, z = _mc_pseudo(
+            model, state.params, x1, k_w, n_samples, do_consensus_masking,
+            axis_name,
+        )
 
         if source_distribution is not None:
-            y, ratio = distribution_alignment(y, jnp.asarray(source_distribution))
+            y, ratio = distribution_alignment(
+                y, jnp.asarray(source_distribution), axis_name=axis_name
+            )
         else:
             ratio = jnp.zeros((2,))
 
         def loss_fn(params):
-            return _punet_loss(model, params, x2, y, k_post, consm=z)
+            return _punet_loss(
+                model, params, x2, y, k_post, consm=z, axis_name=axis_name
+            )
 
-        (loss, aux), grads = jax.value_and_grad(loss_fn, has_aux=True)(state.params)
-        state = _apply_updates(tx, state, grads, rng)
+        (_, aux), grads = jax.value_and_grad(loss_fn, has_aux=True)(state.params)
+        state = _apply_updates(tx, state, grads, rng, axis_name)
         return state, {
-            "loss": loss,
             "distr_ratio_bg": ratio[0],
             "distr_ratio_fg": ratio[1],
             **aux,
@@ -362,19 +421,25 @@ def make_fixmatch_val_step(
     *,
     do_consensus_masking: bool = False,
     n_samples: int = N_MC_TRAIN,
+    axis_name=None,
 ):
     """fixmatch_trainer.py:111-160 (no distribution alignment at val time)."""
 
     def step(state: TrainState, x, x1, x2, gt):
         rng, k_w, k_post, k_mc = jax.random.split(state.rng, 4)
-        y, z = _mc_pseudo(model, state.params, x1, k_w, n_samples, do_consensus_masking)
-        loss, _ = _punet_loss(model, state.params, x2, y, k_post, consm=z)
-        pred = _mc_mean_probs(model, state.params, x2, k_mc, n_samples)
-        dice = dice_score_jnp(pred, y)
-        gt_dice = dice_score_jnp(pred, gt)
+        y, z = _mc_pseudo(
+            model, state.params, x1, k_w, n_samples, do_consensus_masking,
+            axis_name,
+        )
+        _, aux = _punet_loss(
+            model, state.params, x2, y, k_post, consm=z, axis_name=axis_name
+        )
+        pred = _mc_mean_probs(model, state.params, x2, k_mc, n_samples, axis_name)
+        dice = dice_score_jnp(pred, y, axis_name=axis_name)
+        gt_dice = dice_score_jnp(pred, gt, axis_name=axis_name)
         state = state.replace(rng=rng)
         return state, {
-            "loss": loss,
+            "loss": aux["loss"],
             "dice": dice,
             "metric": 1.0 - dice,
             "gt_metric": 1.0 - gt_dice,
@@ -395,6 +460,7 @@ def make_adamt_step(
     momentum: float = 0.999,
     do_consensus_masking: bool = False,
     n_samples: int = N_MC_TRAIN,
+    axis_name=None,
 ):
     """AdaMTTrainer._train_epoch_impl equivalent (adamt_trainer.py:83-137):
     supervised source ELBO + teacher-pseudo target ELBO, averaged; ramped EMA
@@ -403,20 +469,29 @@ def make_adamt_step(
     def step(state: TrainState, xs, ys, xt, xt1, xt2, yt):
         rng, k_s, k_t, k_post = jax.random.split(state.rng, 4)
         y, z = _mc_pseudo(
-            model, state.teacher_params, xt1, k_t, n_samples, do_consensus_masking
+            model, state.teacher_params, xt1, k_t, n_samples,
+            do_consensus_masking, axis_name,
         )
 
         def loss_fn(params):
-            sup, sup_aux = _punet_loss(model, params, xs, ys, k_s)
-            tgt, tgt_aux = _punet_loss(model, params, xt2, y, k_post, consm=z)
-            return (sup + tgt) / 2.0, {"supervised_loss": sup, "target_loss": tgt}
+            sup, sup_aux = _punet_loss(
+                model, params, xs, ys, k_s, axis_name=axis_name
+            )
+            tgt, tgt_aux = _punet_loss(
+                model, params, xt2, y, k_post, consm=z, axis_name=axis_name
+            )
+            return (sup + tgt) / 2.0, {
+                "loss": (sup_aux["loss"] + tgt_aux["loss"]) / 2.0,
+                "supervised_loss": sup_aux["loss"],
+                "target_loss": tgt_aux["loss"],
+            }
 
-        (loss, aux), grads = jax.value_and_grad(loss_fn, has_aux=True)(state.params)
+        (_, aux), grads = jax.value_and_grad(loss_fn, has_aux=True)(state.params)
         m = ramped_momentum(state.step.astype(jnp.float32), momentum)
-        state = _apply_updates(tx, state, grads, rng)
+        state = _apply_updates(tx, state, grads, rng, axis_name)
         teacher = ema_update(state.teacher_params, state.params, m)
         state = state.replace(teacher_params=teacher)
-        return state, {"loss": loss, **aux}
+        return state, aux
 
     return step
 
@@ -426,21 +501,25 @@ def make_adamt_val_step(
     *,
     do_consensus_masking: bool = False,
     n_samples: int = N_MC_TRAIN,
+    axis_name=None,
 ):
     """adamt_trainer.py:139-189 — target-only validation."""
 
     def step(state: TrainState, xt, xt1, xt2, yt):
         rng, k_t, k_post, k_mc = jax.random.split(state.rng, 4)
         y, z = _mc_pseudo(
-            model, state.teacher_params, xt1, k_t, n_samples, do_consensus_masking
+            model, state.teacher_params, xt1, k_t, n_samples,
+            do_consensus_masking, axis_name,
         )
-        loss, _ = _punet_loss(model, state.params, xt2, y, k_post, consm=z)
-        pred = _mc_mean_probs(model, state.params, xt2, k_mc, n_samples)
-        dice = dice_score_jnp(pred, y)
-        gt_dice = dice_score_jnp(pred, yt)
+        _, aux = _punet_loss(
+            model, state.params, xt2, y, k_post, consm=z, axis_name=axis_name
+        )
+        pred = _mc_mean_probs(model, state.params, xt2, k_mc, n_samples, axis_name)
+        dice = dice_score_jnp(pred, y, axis_name=axis_name)
+        gt_dice = dice_score_jnp(pred, yt, axis_name=axis_name)
         state = state.replace(rng=rng)
         return state, {
-            "loss": loss,
+            "loss": aux["loss"],
             "dice": dice,
             "metric": 1.0 - dice,
             "gt_metric": 1.0 - gt_dice,
@@ -455,6 +534,7 @@ def make_adamatch_step(
     *,
     do_consensus_masking: bool = False,
     n_samples: int = N_MC_TRAIN,
+    axis_name=None,
 ):
     """AdaMatchTrainer._train_epoch_impl equivalent (adamatch_trainer.py:56-116):
     like AdaMT but pseudo-labels come from the model itself (no teacher).
@@ -464,16 +544,27 @@ def make_adamatch_step(
 
     def step(state: TrainState, xs, ys, xt, xt1, xt2, yt):
         rng, k_s, k_w, k_post = jax.random.split(state.rng, 4)
-        y, z = _mc_pseudo(model, state.params, xt1, k_w, n_samples, do_consensus_masking)
+        y, z = _mc_pseudo(
+            model, state.params, xt1, k_w, n_samples, do_consensus_masking,
+            axis_name,
+        )
 
         def loss_fn(params):
-            sup, _ = _punet_loss(model, params, xs, ys, k_s)
-            tgt, _ = _punet_loss(model, params, xt2, y, k_post, consm=z)
-            return (sup + tgt) / 2.0, {"supervised_loss": sup, "target_loss": tgt}
+            sup, sup_aux = _punet_loss(
+                model, params, xs, ys, k_s, axis_name=axis_name
+            )
+            tgt, tgt_aux = _punet_loss(
+                model, params, xt2, y, k_post, consm=z, axis_name=axis_name
+            )
+            return (sup + tgt) / 2.0, {
+                "loss": (sup_aux["loss"] + tgt_aux["loss"]) / 2.0,
+                "supervised_loss": sup_aux["loss"],
+                "target_loss": tgt_aux["loss"],
+            }
 
-        (loss, aux), grads = jax.value_and_grad(loss_fn, has_aux=True)(state.params)
-        state = _apply_updates(tx, state, grads, rng)
-        return state, {"loss": loss, **aux}
+        (_, aux), grads = jax.value_and_grad(loss_fn, has_aux=True)(state.params)
+        state = _apply_updates(tx, state, grads, rng, axis_name)
+        return state, aux
 
     return step
 
@@ -483,17 +574,23 @@ def make_adamatch_val_step(
     *,
     do_consensus_masking: bool = False,
     n_samples: int = N_MC_TRAIN,
+    axis_name=None,
 ):
     def step(state: TrainState, xt, xt1, xt2, yt):
         rng, k_w, k_post, k_mc = jax.random.split(state.rng, 4)
-        y, z = _mc_pseudo(model, state.params, xt1, k_w, n_samples, do_consensus_masking)
-        loss, _ = _punet_loss(model, state.params, xt2, y, k_post, consm=z)
-        pred = _mc_mean_probs(model, state.params, xt2, k_mc, n_samples)
-        dice = dice_score_jnp(pred, y)
-        gt_dice = dice_score_jnp(pred, yt)
+        y, z = _mc_pseudo(
+            model, state.params, xt1, k_w, n_samples, do_consensus_masking,
+            axis_name,
+        )
+        _, aux = _punet_loss(
+            model, state.params, xt2, y, k_post, consm=z, axis_name=axis_name
+        )
+        pred = _mc_mean_probs(model, state.params, xt2, k_mc, n_samples, axis_name)
+        dice = dice_score_jnp(pred, y, axis_name=axis_name)
+        gt_dice = dice_score_jnp(pred, yt, axis_name=axis_name)
         state = state.replace(rng=rng)
         return state, {
-            "loss": loss,
+            "loss": aux["loss"],
             "dice": dice,
             "metric": 1.0 - dice,
             "gt_metric": 1.0 - gt_dice,
@@ -507,7 +604,7 @@ def make_adamatch_val_step(
 # ---------------------------------------------------------------------------
 
 
-def make_supervised_unet_step(model, tx):
+def make_supervised_unet_step(model, tx, *, axis_name=None):
     """Dice-loss supervised training of the plain UNet2d
     (reference LIVECell/livecell_unet.py:48-59 via torch_em
     default_segmentation_trainer: DiceLoss, Adam)."""
@@ -517,19 +614,19 @@ def make_supervised_unet_step(model, tx):
 
         def loss_fn(params):
             pred = model.apply({"params": params}, x)
-            return dice_loss(pred, y)
+            return dice_loss(pred, y, axis_name=axis_name)
 
         loss, grads = jax.value_and_grad(loss_fn)(state.params)
-        state = _apply_updates(tx, state, grads, rng)
+        state = _apply_updates(tx, state, grads, rng, axis_name)
         return state, {"loss": loss}
 
     return step
 
 
-def make_supervised_unet_val_step(model):
+def make_supervised_unet_val_step(model, *, axis_name=None):
     def step(state: TrainState, x, y):
         pred = model.apply({"params": state.params}, x)
-        loss = dice_loss(pred, y)
+        loss = dice_loss(pred, y, axis_name=axis_name)
         return state, {"loss": loss, "metric": loss}
 
     return step

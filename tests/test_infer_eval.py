@@ -90,6 +90,28 @@ class TestPredictionPipelines:
         assert pred.shape == (100, 120)
         assert pred.min() >= 0.0 and pred.max() <= 1.0
 
+    def test_punet_prediction_tiff_extension_and_dir_glob(self, tmp_path):
+        """.tiff inputs keep their stem (no [:-4] mangling) and directory
+        patterns expand to all image extensions, not just *.tif."""
+        import imageio.v3 as imageio
+
+        rng = np.random.default_rng(0)
+        in_dir = tmp_path / "tiffs"
+        os.makedirs(in_dir)
+        imageio.imwrite(
+            in_dir / "cell_a.tiff", (rng.random((72, 72)) * 255).astype(np.uint8)
+        )
+        imageio.imwrite(
+            in_dir / "cell_b.png", (rng.random((72, 72)) * 255).astype(np.uint8)
+        )
+        model, params = small_punet_params()
+        out_dir = str(tmp_path / "preds")
+        punet_prediction(
+            str(in_dir), out_dir, model, params,
+            prior_samples=2, block_shape=(64, 64), halo=(8, 8), verbose=False,
+        )
+        assert sorted(os.listdir(out_dir)) == ["cell_a.tif", "cell_b.tif"]
+
     def test_pseudo_prediction_export_tree(self, tmp_path):
         import imageio.v3 as imageio
 

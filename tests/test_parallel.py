@@ -274,6 +274,135 @@ class TestShardedInference:
         assert out.shape == (128, 128, 1)
 
 
+class TestShardMapDP:
+    """Manual-SPMD data parallelism (engine ``_dp_shard_map`` path): the step
+    factories' ``axis_name`` psums must make the sharded step reproduce the
+    single-device global-batch step EXACTLY — loss, metrics, and updated
+    params — including through the nonlinear dice ratio and the MC latent
+    draws (pda.core.distributions.sharded_normal slices a global draw)."""
+
+    def _shard_mapped(self, mesh, step, n_batch):
+        from jax.sharding import PartitionSpec as P
+
+        return jax.jit(
+            jax.shard_map(
+                step,
+                mesh=mesh,
+                in_specs=(P(), *([P("data")] * n_batch)),
+                out_specs=(P(), P()),
+                check_vma=False,
+            )
+        )
+
+    def test_supervised_step_matches_single_device(self, batch8):
+        # SGD, not Adam: Adam's first-step update is +-lr*sign(g), which
+        # amplifies 1e-7 psum-reassociation deltas on near-zero gradient
+        # elements to full lr. Under SGD the param delta IS lr*grad delta,
+        # so this pins the summed GRADIENT to ~1e-6 — the actual contract.
+        import optax
+
+        x, y = batch8
+        model = _model()
+        tx = optax.sgd(1e-2)
+
+        ref_state, ref_m = jax.jit(make_supervised_punet_step(model, tx))(
+            _state(model, tx), x, y
+        )
+
+        mesh = get_mesh(8)
+        step = self._shard_mapped(
+            mesh, make_supervised_punet_step(model, tx, axis_name="data"), 2
+        )
+        sm_state, sm_m = step(
+            jax.device_put(_state(model, tx), replicated(mesh)), x, y
+        )
+
+        assert abs(float(sm_m["loss"]) - float(ref_m["loss"])) < 1e-5 * abs(
+            float(ref_m["loss"])
+        )
+        for a, b in zip(
+            jax.tree_util.tree_leaves(ref_state.params),
+            jax.tree_util.tree_leaves(sm_state.params),
+        ):
+            np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=1e-5)
+
+    def test_mean_teacher_step_matches_single_device(self, batch8):
+        """Heaviest equality check: teacher MC-16 draws + consensus + EMA.
+        Passing requires the latent noise on each shard to be the exact slice
+        of the global-batch draw, not an independent local draw."""
+        x, _ = batch8
+        model = _model(masking=True)
+        tx = adam(1e-3)
+
+        ref_state, ref_m = jax.jit(
+            make_mean_teacher_step(model, tx, do_consensus_masking=True)
+        )(_state(model, tx, with_teacher=True), x, x, x, x)
+
+        mesh = get_mesh(8)
+        step = self._shard_mapped(
+            mesh,
+            make_mean_teacher_step(
+                model, tx, do_consensus_masking=True, axis_name="data"
+            ),
+            4,
+        )
+        sm_state, sm_m = step(
+            jax.device_put(_state(model, tx, with_teacher=True), replicated(mesh)),
+            x, x, x, x,
+        )
+
+        assert abs(float(sm_m["loss"]) - float(ref_m["loss"])) < 1e-5 * abs(
+            float(ref_m["loss"])
+        )
+        for a, b in zip(
+            jax.tree_util.tree_leaves(ref_state.teacher_params),
+            jax.tree_util.tree_leaves(sm_state.teacher_params),
+        ):
+            np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=1e-4)
+
+    def test_val_step_metrics_match_single_device(self, batch8):
+        from pda.train.steps import make_punet_val_step
+
+        x, y = batch8
+        model = _model()
+        tx = adam(1e-3)
+
+        _, ref_m = jax.jit(make_punet_val_step(model))(_state(model, tx), x, y)
+
+        mesh = get_mesh(8)
+        step = self._shard_mapped(
+            mesh, make_punet_val_step(model, axis_name="data"), 2
+        )
+        _, sm_m = step(jax.device_put(_state(model, tx), replicated(mesh)), x, y)
+
+        # batch-1 shard convs may pick different accumulation orders than
+        # the batch-8 program -> ~1e-6 output deltas, ~1e-5 in the metrics;
+        # a local-mean (unsummed) dice would be off at the 1e-2 level
+        for k in ("loss", "dice", "metric"):
+            assert abs(float(sm_m[k]) - float(ref_m[k])) < 1e-4, (
+                k, ref_m, sm_m,
+            )
+
+    def test_engine_mode_selection(self, monkeypatch):
+        """shard_map DP engages only on a multi-device pure-``data`` mesh and
+        can be opted out via PDA_DP_IMPL=gspmd (2-D meshes stay on GSPMD for
+        the spatial halo exchanges)."""
+        from pda.train.engine import Trainer
+
+        def probe(mesh):
+            t = object.__new__(Trainer)
+            t.mesh = mesh
+            return t._dp_shard_map()
+
+        monkeypatch.delenv("PDA_DP_IMPL", raising=False)
+        assert probe(get_mesh(8)) is True
+        assert probe(get_mesh(1)) is False
+        assert probe(None) is False
+        assert probe(get_mesh_2d(2, 4)) is False
+        monkeypatch.setenv("PDA_DP_IMPL", "gspmd")
+        assert probe(get_mesh(8)) is False
+
+
 class TestTrainerOnMesh:
     def test_trainer_fit_with_mesh(self, tmp_path):
         """The Trainer engine itself (not just the step fns) trains over an

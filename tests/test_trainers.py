@@ -168,6 +168,66 @@ class TestSupervisedTrainers:
         t3.fit(4, load_from_checkpoint="latest")
         assert int(t3.state.step) == 4
 
+    def test_checkpoint_meta_embedded_and_legacy(self, tmp_path):
+        """Meta rides inside the .ckpt file (single atomic commit unit); the
+        .json sidecar is informational only. Legacy sidecar-only checkpoints
+        still load."""
+        from flax import serialization
+
+        from pda.train.checkpoint import load_checkpoint, save_checkpoint
+        from pda.train.state import create_train_state
+        from pda.train.optim import adam
+
+        model = punet()
+        x0 = jnp.zeros((1, 32, 32, 1))
+        params = model.init(jax.random.PRNGKey(0), x0, x0)["params"]
+        state = create_train_state(params, adam(1e-3), jax.random.PRNGKey(1))
+        d = str(tmp_path / "ckpt")
+        save_checkpoint(d, state, which="latest", best_metric=0.25)
+
+        # sidecar deleted -> meta still available from the embedded header
+        os.remove(os.path.join(d, "latest.json"))
+        _, meta = load_checkpoint(d, state, which="latest")
+        assert meta["best_metric"] == 0.25
+
+        # legacy file (raw msgpack, meta only in a sidecar) still loads
+        import json as _json
+
+        with open(os.path.join(d, "legacy.ckpt"), "wb") as f:
+            f.write(serialization.to_bytes(state))
+        with open(os.path.join(d, "legacy.json"), "w") as f:
+            _json.dump({"best_metric": 0.5, "step": 0}, f)
+        restored, meta = load_checkpoint(d, state, which="legacy")
+        assert meta["best_metric"] == 0.5
+        np.testing.assert_allclose(
+            jax.tree_util.tree_leaves(restored.params)[0],
+            jax.tree_util.tree_leaves(state.params)[0],
+        )
+
+    def test_latest_checkpoint_records_current_best_metric(self, tmp_path):
+        """latest.ckpt must carry THIS epoch's best-metric comparison: a
+        resume from latest that restored the pre-comparison value would let
+        a later, worse epoch overwrite best.ckpt."""
+        import json as _json
+
+        train, val = sup_loaders(tmp_path)
+        t = PUNetTrainer(
+            "test-bestmeta", punet(), train, val,
+            learning_rate=1e-3, save_root=str(tmp_path), logger=False,
+        )
+        t.fit(2)
+        d = str(tmp_path / "checkpoints" / "test-bestmeta")
+        with open(os.path.join(d, "latest.json")) as f:
+            latest = _json.load(f)
+        # first epoch: current metric IS the best metric, and latest must say so
+        assert latest["best_metric"] == latest["current_metric"]
+        t2 = PUNetTrainer(
+            "test-bestmeta", punet(), train, val,
+            learning_rate=1e-3, save_root=str(tmp_path), logger=False,
+        )
+        t2.load_checkpoint("latest")
+        assert t2._best_metric == latest["best_metric"]
+
     def test_resume_continues_iterations(self, tmp_path):
         train, val = sup_loaders(tmp_path)
         t = PUNetTrainer(
