@@ -217,4 +217,21 @@ def main():
 
 
 if __name__ == "__main__":
-    main()
+    # The axon TPU tunnel occasionally drops a device transfer mid-run
+    # (FAILED_PRECONDITION / socket resets). A wedged TPU client cannot be
+    # recovered in-process, so retry ONCE in a fresh interpreter before
+    # giving up — the driver records whatever this prints as the round's
+    # benchmark artifact.
+    import sys
+    import traceback
+
+    try:
+        main()
+    except Exception:
+        if os.environ.get("PDA_BENCH_RETRIED"):
+            raise
+        traceback.print_exc()
+        print("bench.py: transient failure, retrying in a fresh process",
+              file=sys.stderr)
+        os.environ["PDA_BENCH_RETRIED"] = "1"
+        os.execv(sys.executable, [sys.executable, os.path.abspath(__file__)])

@@ -1,6 +1,9 @@
 """End-to-end synthetic drive: train -> ckpt -> MT warm start
 -> tiled MC prediction -> pseudo export -> dice eval. CPU, small model."""
-import os, tempfile, glob
+import os, sys, tempfile, glob
+
+sys.path.insert(0, os.path.join(os.path.dirname(__file__), ".."))
+
 import jax
 jax.config.update("jax_platforms", "cpu")
 import numpy as np

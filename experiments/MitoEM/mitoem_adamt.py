@@ -16,5 +16,5 @@ from pda.experiments import standard_parser
 from pda.experiments.mitoem_da import run
 
 if __name__ == "__main__":
-    args = standard_parser(__doc__, extra_flags=("consensus",)).parse_args()
+    args = standard_parser(__doc__, extra_flags=("consensus", "type")).parse_args()
     run(args, "adamt", common)

@@ -146,6 +146,11 @@ def standard_parser(description: str, extra_flags=()) -> argparse.ArgumentParser
                             help="Consensus masking (binarized) of the ELBO")
     if "pseudo" in extra_flags:
         parser.add_argument("--get_pseudo_labels", action="store_true")
+    if "type" in extra_flags:
+        parser.add_argument(
+            "--type", type=str, default=None,
+            help="Whether to run on a particular type of data domain.",
+        )
     parser.add_argument("--data", type=str, default="./data/")
     parser.add_argument("--pred_path", type=str, default="./predictions/")
     parser.add_argument("--source_checkpoints", type=str, default="checkpoints/")

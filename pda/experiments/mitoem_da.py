@@ -60,7 +60,12 @@ def _suffix(args) -> str:
 def train(args, method: str, common_mod):
     from .common import mitoem_strong_augmentations
 
-    for em_data in EM_TYPES:
+    # --type restricts joint training to one target domain (reference
+    # mitoem_adamt.py:147,185-188 / mitoem_adamatch.py:147).
+    em_types = EM_TYPES
+    if getattr(args, "type", None):
+        em_types = [args.type]
+    for em_data in em_types:
         print(f"Training on {em_data} using {method}")
         name = da_name(method, "mito", "mitoem", em_data, args.consensus, args.masking)
         model = mitoem_punet(consensus_masking=args.consensus)
