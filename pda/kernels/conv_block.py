@@ -62,6 +62,14 @@ def _compiler_params(vmem_mb: int = 120, allow_dimsem: bool = True):
         kw["dimension_semantics"] = ("parallel", "arbitrary")
     return pltpu.CompilerParams(**kw)
 
+
+def _compiler_params_bwd(vmem_mb: int = 120):
+    """CompilerParams for the backward kernels (both the unpacked and the
+    packed family): dw/db accumulate in grid-constant output blocks, so
+    sequential grid iteration is load-bearing — never emit 'parallel'
+    dimension semantics here."""
+    return _compiler_params(vmem_mb, allow_dimsem=False)
+
 MARGIN = 4  # zero-ring width (>= 3-conv halo; 4 keeps halo blocks 8-aligned)
 HALO_ROWS = 8
 PAD_TAIL = 32  # in-kernel zero tail: dx-slice overrun budget

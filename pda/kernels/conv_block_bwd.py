@@ -29,7 +29,6 @@ for this chain was the dominant cost of the PUNet train step.
 from __future__ import annotations
 
 import functools
-from typing import Tuple
 
 import jax
 import jax.numpy as jnp
@@ -38,7 +37,6 @@ from jax.experimental.pallas import tpu as pltpu
 
 from .conv_block import (
     MARGIN,
-    PAD_TAIL,
     assemble_band,
     assemble_flat_band,
     band_views,
@@ -48,15 +46,7 @@ from .conv_block import (
     flat_views,
 )
 
-
-from .conv_block import _compiler_params as _cp_base
-
-
-def _compiler_params(vmem_mb: int = 120):
-    # backward kernels accumulate dw/db in grid-constant output
-    # blocks -> sequential grid iteration is load-bearing; never
-    # emit 'parallel' dimension semantics here
-    return _cp_base(vmem_mb, allow_dimsem=False)
+from .conv_block import _compiler_params_bwd as _compiler_params
 
 
 

@@ -200,16 +200,6 @@ def dec_top_pred(cu: int, cs: int):
     return pred
 
 
-def stencil_packed(h, wc_ref, wm_ref, l_out: int, off0: int, headroom: int):
-    """Packed conv stencil: f32 accumulator of length l_out + headroom.
-
-    Reads h at offsets off0 + dy*wpp + {0 (left pair), 1 (center), 2 (right
-    pair)} where wpp is baked into the refs' geometry via the caller's
-    closure — pass slices' wpp through ``stencil_wpp`` partial instead.
-    """
-    raise NotImplementedError  # replaced by _make_stencil below
-
-
 def _make_stencil(wpp: int):
     def stencil(h, wc_ref, wm_ref, l_out: int, off0: int, headroom: int,
                 top_pred=None):

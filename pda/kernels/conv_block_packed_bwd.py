@@ -63,15 +63,7 @@ from .conv_block_packed import (
     packed_wpp,
 )
 
-
-from .conv_block import _compiler_params as _cp_base
-
-
-def _compiler_params(vmem_mb: int = 120):
-    # backward kernels accumulate dw/db in grid-constant output
-    # blocks -> sequential grid iteration is load-bearing; never
-    # emit 'parallel' dimension semantics here
-    return _cp_base(vmem_mb, allow_dimsem=False)
+from .conv_block import _compiler_params_bwd as _compiler_params
 
 
 
@@ -484,8 +476,6 @@ def conv_block_packed_bwd_flat(
     in_specs += [hup, hcore, hdown]  # h3
     inputs += [h3f, h3f, h3f]
     if recompute:
-        from .conv_block_packed import pack_weights
-
         for wk, bk in ((w1, b1), (w2, b2)):
             wc, wm = pack_weights(wk.astype(dtype))
             inputs += [wc, wm, jnp.tile(bk.astype(jnp.float32), 2)[None, :]]

@@ -212,7 +212,6 @@ def _fwd_row_tile(h: int, cin: int, c: int) -> int:
 def _bwd_row_tile(h: int, cin: int, c: int) -> int:
     """Backward kernel bands carry 3 input streams + wider f32 accumulators
     (3*max(cin,c) lanes), so tiles shrink faster with width/channels."""
-    import os
 
     m = max(cin, c)
     if h >= 512:
@@ -235,7 +234,6 @@ def force_xla_conv_path(note: str = ""):
     XLA's SPMD partitioner cannot split (no custom_partitioning registered),
     so GSPMD would replicate their operands and every device would redundantly
     compute the full batch. Restores the caller's setting on exit."""
-    import os
 
     prev = os.environ.get("PDA_PALLAS_CONV")
     if prev == "1" and note:
@@ -253,7 +251,6 @@ def force_xla_conv_path(note: str = ""):
 def pallas_conv_enabled() -> bool:
     """Use the Pallas fused block kernels? Env override PDA_PALLAS_CONV=0/1,
     default: only on TPU backends (the kernels target Mosaic/v5e)."""
-    import os
 
     flag = os.environ.get("PDA_PALLAS_CONV", "auto")
     if flag == "0":
@@ -329,7 +326,6 @@ conv3_relu_pallas.defvjp(_conv3p_fwd, _conv3p_bwd)
 
 
 def _packed_fwd_row_tile(h: int, cin: int, c: int) -> int:
-    import os
 
     if h >= 512:
         rt = int(os.environ.get("PDA_RT_PFWD", "0")) or (16 if cin > 64 else 32)
@@ -538,8 +534,8 @@ def dec_packed_flat_enabled(cu: int, cs: int) -> bool:
     )
 
 
-@functools.partial(jax.custom_vjp, nondiff_argnums=(0, 1))
-def conv3_relu_flat_packed(h, w, xf, w1, b1, w2, b2, w3, b3):
+@functools.partial(jax.custom_vjp, nondiff_argnums=(0, 1, 2))
+def conv3_relu_flat_packed(h, w, input_block, xf, w1, b1, w2, b2, w3, b3):
     from ..kernels.conv_block_packed import conv_block_packed_flat
 
     rt = _packed_fwd_row_tile(h, xf.shape[-1] // 2, w1.shape[-1])
@@ -548,20 +544,20 @@ def conv3_relu_flat_packed(h, w, xf, w1, b1, w2, b2, w3, b3):
     )
 
 
-def _packed_input_block(cin: int) -> bool:
-    """Input-level packed blocks (Cin <= 2: the pipeline entries — image or
-    image+mask concat) skip the backward's input-cotangent chain entirely
-    (dx comes back as zeros and is DCE'd — the network input has no gradient
-    consumer), dropping the dgrad stencil's MXU passes and the full-tensor
-    dx stream. Set PDA_PALLAS_DX=1 to restore exact dx (e.g. for
-    input-gradient methods). Note: in-kernel h1/h2 recompute was measured
-    SLOWER than streaming here (the kernels are MXU-pass-bound, not
-    BW-bound: +12 recompute passes cost more than 4 full-tensor streams
-    save), so the saved intermediates always stream."""
-    return cin <= 2 and os.environ.get("PDA_PALLAS_DX", "0") != "1"
+def _skip_dx(input_block: bool) -> bool:
+    """Input blocks (``ConvBlock(input_block=True)`` — the caller declares
+    that xf is the NETWORK input, so its cotangent has no consumer) skip the
+    backward's input-cotangent chain entirely (dx comes back as zeros and is
+    DCE'd), dropping the dgrad stencil's MXU passes and the full-tensor dx
+    stream. Set PDA_PALLAS_DX=1 to restore exact dx (e.g. for input-gradient
+    methods). Note: in-kernel h1/h2 recompute was measured SLOWER than
+    streaming here (the kernels are MXU-pass-bound, not BW-bound: +12
+    recompute passes cost more than 4 full-tensor streams save), so the
+    saved intermediates always stream."""
+    return input_block and os.environ.get("PDA_PALLAS_DX", "0") != "1"
 
 
-def _conv3fp_fwd(h, w, xf, w1, b1, w2, b2, w3, b3):
+def _conv3fp_fwd(h, w, input_block, xf, w1, b1, w2, b2, w3, b3):
     from ..kernels.conv_block_packed import conv_block_packed_flat
 
     cin = xf.shape[-1] // 2
@@ -573,7 +569,7 @@ def _conv3fp_fwd(h, w, xf, w1, b1, w2, b2, w3, b3):
     return outf, (xf, outf, h1f, h2f, w1, b1, w2, b2, w3)
 
 
-def _packed_bwd(h, w, res, gf, gpf):
+def _packed_bwd(h, w, input_block, res, gf, gpf):
     """Shared backward body for the three packed-flat VJPs: gf is the
     full-res cotangent (None for pool-only consumers), gpf the pooled one
     (None when no pool consumer)."""
@@ -585,7 +581,7 @@ def _packed_bwd(h, w, res, gf, gpf):
     dxf, dw1, db1, dw2, db2, dw3, db3 = conv_block_packed_bwd_flat(
         xf, outf, None if gf is None else gf.astype(xf.dtype), h1f, h2f,
         h, w, w1, w2, w3, b1=b1, b2=b2, row_tile=rt,
-        need_dx=not _packed_input_block(cin),
+        need_dx=not _skip_dx(input_block),
         gpf=None if gpf is None else gpf.astype(xf.dtype),
     )
     if dxf is None:
@@ -593,8 +589,8 @@ def _packed_bwd(h, w, res, gf, gpf):
     return dxf, dw1, db1, dw2, db2, dw3, db3
 
 
-def _conv3fp_bwd(h, w, res, g):
-    return _packed_bwd(h, w, res, g, None)
+def _conv3fp_bwd(h, w, input_block, res, g):
+    return _packed_bwd(h, w, input_block, res, g, None)
 
 
 conv3_relu_flat_packed.defvjp(_conv3fp_fwd, _conv3fp_bwd)
@@ -613,47 +609,48 @@ conv3_relu_flat_packed.defvjp(_conv3fp_fwd, _conv3fp_bwd)
 # ---------------------------------------------------------------------------
 
 
-@functools.partial(jax.custom_vjp, nondiff_argnums=(0, 1))
-def conv3_relu_flat_packed_pool(h, w, xf, w1, b1, w2, b2, w3, b3):
+@functools.partial(jax.custom_vjp, nondiff_argnums=(0, 1, 2))
+def conv3_relu_flat_packed_pool(h, w, input_block, xf, w1, b1, w2, b2, w3, b3):
     from . import flat_ops
 
     return flat_ops.pool_flat_packed(
-        conv3_relu_flat_packed(h, w, xf, w1, b1, w2, b2, w3, b3), h, w
+        conv3_relu_flat_packed(h, w, input_block, xf, w1, b1, w2, b2, w3, b3),
+        h, w,
     )
 
 
-def _conv3fpp_fwd(h, w, xf, w1, b1, w2, b2, w3, b3):
+def _conv3fpp_fwd(h, w, input_block, xf, w1, b1, w2, b2, w3, b3):
     from . import flat_ops
 
-    outf, res = _conv3fp_fwd(h, w, xf, w1, b1, w2, b2, w3, b3)
+    outf, res = _conv3fp_fwd(h, w, input_block, xf, w1, b1, w2, b2, w3, b3)
     return flat_ops.pool_flat_packed(outf, h, w), res
 
 
-def _conv3fpp_bwd(h, w, res, g):
-    return _packed_bwd(h, w, res, None, g)
+def _conv3fpp_bwd(h, w, input_block, res, g):
+    return _packed_bwd(h, w, input_block, res, None, g)
 
 
 conv3_relu_flat_packed_pool.defvjp(_conv3fpp_fwd, _conv3fpp_bwd)
 
 
-@functools.partial(jax.custom_vjp, nondiff_argnums=(0, 1))
-def conv3_relu_flat_packed_with_pool(h, w, xf, w1, b1, w2, b2, w3, b3):
+@functools.partial(jax.custom_vjp, nondiff_argnums=(0, 1, 2))
+def conv3_relu_flat_packed_with_pool(h, w, input_block, xf, w1, b1, w2, b2, w3, b3):
     from . import flat_ops
 
-    outf = conv3_relu_flat_packed(h, w, xf, w1, b1, w2, b2, w3, b3)
+    outf = conv3_relu_flat_packed(h, w, input_block, xf, w1, b1, w2, b2, w3, b3)
     return outf, flat_ops.pool_flat_packed(outf, h, w)
 
 
-def _conv3fpw_fwd(h, w, xf, w1, b1, w2, b2, w3, b3):
+def _conv3fpw_fwd(h, w, input_block, xf, w1, b1, w2, b2, w3, b3):
     from . import flat_ops
 
-    outf, res = _conv3fp_fwd(h, w, xf, w1, b1, w2, b2, w3, b3)
+    outf, res = _conv3fp_fwd(h, w, input_block, xf, w1, b1, w2, b2, w3, b3)
     return (outf, flat_ops.pool_flat_packed(outf, h, w)), res
 
 
-def _conv3fpw_bwd(h, w, res, gs):
+def _conv3fpw_bwd(h, w, input_block, res, gs):
     g_out, g_pool = gs
-    return _packed_bwd(h, w, res, g_out, g_pool)
+    return _packed_bwd(h, w, input_block, res, g_out, g_pool)
 
 
 conv3_relu_flat_packed_with_pool.defvjp(_conv3fpw_fwd, _conv3fpw_bwd)
@@ -672,6 +669,7 @@ def flat_pyramid_plan(h: int, w: int, cin: int, filters, packed0: bool) -> bool:
 def flat_pyramid_level(
     i: int, feats: int, xf, h: int, w: int, ci: int,
     *, pool_fused: bool, want_skip: bool, n_convs: int, dtype,
+    input_block: bool = False,
 ):
     """Run contracting-pyramid level ``i`` in the flat pipeline, owning the
     fused level-0 block+pool bookkeeping shared by PUNetBackbone._call_flat
@@ -688,7 +686,8 @@ def flat_pyramid_level(
         ("with" if want_skip else "only") if (pool_fused and i == 0) else None
     )
     out = ConvBlock(
-        feats, n_convs=n_convs, pool=(i > 0 and not prepooled), dtype=dtype
+        feats, n_convs=n_convs, pool=(i > 0 and not prepooled), dtype=dtype,
+        input_block=input_block,
     )(xf, flat_geom=(h, w, ci), pool_out=pool_out)
     full = None
     if pool_out == "with":
@@ -790,6 +789,11 @@ class ConvBlock(nn.Module):
     n_convs: int = 3
     pool: bool = False
     dtype: jnp.dtype = jnp.float32
+    #: The block consumes the NETWORK input (no upstream gradient consumer):
+    #: the packed-flat backward may skip the input-cotangent chain (see
+    #: :func:`_skip_dx`). Must be declared by the model that wires the block —
+    #: never inferred from channel count.
+    input_block: bool = False
 
     @nn.compact
     def __call__(self, x: jax.Array, flat_geom=None, pool_out=None):
@@ -822,7 +826,6 @@ class ConvBlock(nn.Module):
             h = x.shape[1]
             cin, c = x.shape[-1], self.features
             fn = conv3_relu
-            import os
 
             maxc = int(os.environ.get("PDA_PALLAS_MAXC", "0") or 0)
             if (
@@ -887,11 +890,16 @@ class ConvBlock(nn.Module):
         if pool_out is not None:
             assert packed and not self.pool, (packed, self.pool)
             if pool_out == "only":
-                return conv3_relu_flat_packed_pool(h, w, x, *weights)
+                return conv3_relu_flat_packed_pool(
+                    h, w, self.input_block, x, *weights
+                )
             assert pool_out == "with", pool_out
-            return conv3_relu_flat_packed_with_pool(h, w, x, *weights)
-        fn = conv3_relu_flat_packed if packed else conv3_relu_flat
-        return fn(h, w, x, *weights)
+            return conv3_relu_flat_packed_with_pool(
+                h, w, self.input_block, x, *weights
+            )
+        if packed:
+            return conv3_relu_flat_packed(h, w, self.input_block, x, *weights)
+        return conv3_relu_flat(h, w, x, *weights)
 
 
 class UpBlock(nn.Module):
@@ -975,10 +983,15 @@ class EncoderPyramid(nn.Module):
             # pool transpose then runs inside the backward kernel).
             pool_fused = flat_pyramid_plan(h, w, cin, self.num_filters, packed0)
             for i, feats in enumerate(self.num_filters):
+                # level 0 consumes the pyramid's x, which is the NETWORK
+                # input here (image, or image+mask for the posterior) — its
+                # cotangent has no consumer, so the packed backward may
+                # skip the dx chain
                 _, xf, h, w = flat_pyramid_level(
                     i, feats, xf, h, w, ci,
                     pool_fused=pool_fused, want_skip=False,
                     n_convs=self.n_convs_per_block, dtype=self.dtype,
+                    input_block=(i == 0),
                 )
                 ci = feats
             last_packed = packed0 and len(self.num_filters) == 1

@@ -109,10 +109,14 @@ class PUNetBackbone(nn.Module):
         pool_fused = flat_pyramid_plan(h0, w0, cin, self.num_filters, packed0)
         for i, feats in enumerate(self.num_filters):
             h_in, w_in = h, w
+            # level 0 consumes the backbone's x = the NETWORK input (raw
+            # image): no gradient consumer upstream, so the packed backward
+            # may skip the dx chain
             full, xf, h, w = flat_pyramid_level(
                 i, feats, xf, h, w, ci,
                 pool_fused=pool_fused, want_skip=True,
                 n_convs=self.n_convs_per_block, dtype=self.dtype,
+                input_block=(i == 0),
             )
             if i != depth - 1:
                 # the skip is the level's full-res output: `full` (pre-pool

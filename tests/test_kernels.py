@@ -412,7 +412,7 @@ class TestFlatKernelVariants:
         def f_ref(xf, skpf, *wargs):
             upf = flat_ops.upsample_flat_to_packed(xf, h, w)
             cat = flat_ops.concat_packed_pair(upf, skpf, cu, cs)
-            return conv3_relu_flat_packed(H, W, cat, *wargs)
+            return conv3_relu_flat_packed(H, W, False, cat, *wargs)
 
         def f_dec(xf, skpf, *wargs):
             ue, uo = flat_ops.upsample_flat_packed_parts(xf, h, w)
