@@ -287,24 +287,26 @@ def get_mitoem_loader(
     """MitoEM source loader (torch_em ``get_mitoem_loader`` equivalent;
     reference MitoEM/common.py:19-46). Expects/creates
     ``<path>/<sample>_<split>.h5`` with raw + labels."""
-    split = splits if isinstance(splits, str) else splits[0]
-    assert split in ("train", "val")
+    # like torch_em, a list of splits concatenates every sample x split volume
+    split_list = [splits] if isinstance(splits, str) else list(splits)
+    assert all(s in ("train", "val") for s in split_list), split_list
     volume_paths = []
-    for sample in samples:
-        p = os.path.join(path, f"{sample}_{split}.h5")
-        if not os.path.exists(p):
-            if download:
-                from .prepare import prepare_mitoem_sample
+    for split in split_list:
+        for sample in samples:
+            p = os.path.join(path, f"{sample}_{split}.h5")
+            if not os.path.exists(p):
+                if download:
+                    from .prepare import prepare_mitoem_sample
 
-                prepare_mitoem_sample(path, sample, download=True)
-            else:
-                raise RuntimeError(
-                    f"MitoEM volume {p} missing. Pass download=True (fetches "
-                    f"{MITOEM_URLS.get(sample)} and converts to h5, like "
-                    f"torch_em's get_mitoem_loader) or place the h5 there "
-                    f"with datasets 'raw' and 'labels'."
-                )
-        volume_paths.append(p)
+                    prepare_mitoem_sample(path, sample, download=True)
+                else:
+                    raise RuntimeError(
+                        f"MitoEM volume {p} missing. Pass download=True "
+                        f"(fetches {MITOEM_URLS.get(sample)} and converts to "
+                        f"h5, like torch_em's get_mitoem_loader) or place "
+                        f"the h5 there with datasets 'raw' and 'labels'."
+                    )
+            volume_paths.append(p)
 
     from ..datasets import ConcatDataset
 

@@ -76,9 +76,16 @@ def create_segmentations_from_annotations(
     image_folder: str,
     seg_folder: str,
     cell_types: Optional[Sequence[str]],
+    rasterize_missing: bool = True,
 ) -> Tuple[List[str], List[str]]:
     """Rasterize COCO annotations to per-image uint16 instance TIFFs
-    (reference my_livecell.py:57-107)."""
+    (reference my_livecell.py:57-107).
+
+    With ``rasterize_missing=False`` (the pseudo-label tree: ``seg_folder``
+    holds MODEL exports, not GT) a missing file raises instead. The reference
+    silently rasterizes GT COCO labels into the pseudo tree here — which
+    makes a partially-exported self-training run train on ground truth
+    without any error; that behavior is deliberately not reproduced."""
     import imageio.v3 as imageio
 
     index = COCOIndex(annotation_file)
@@ -102,6 +109,13 @@ def create_segmentations_from_annotations(
         seg_paths.append(seg_path)
         if os.path.exists(seg_path):
             continue
+        if not rasterize_missing:
+            raise FileNotFoundError(
+                f"pseudo-label {seg_path} is missing — run the "
+                "--get_pseudo_labels phase (punet_pseudo_prediction) for "
+                "this source/target pair first; refusing to substitute "
+                "ground-truth rasterizations into the pseudo-label tree"
+            )
         imageio.imwrite(seg_path, rasterize_annotations(index, image_id))
 
     assert len(image_paths) == len(seg_paths)
@@ -121,7 +135,8 @@ def _image_and_label_paths(path, split, download, cell_types, label_path=None):
     )
     assert os.path.exists(image_folder), image_folder
     return create_segmentations_from_annotations(
-        annotation_file, image_folder, seg_folder, cell_types
+        annotation_file, image_folder, seg_folder, cell_types,
+        rasterize_missing=label_path is None,
     )
 
 

@@ -169,8 +169,10 @@ def prepare_montgomery(raw_root: str, out_root: str, size: Tuple[int, int] = (25
         right = np.asarray(imageio.imread(os.path.join(right_dir, name)))
         mask = ((left > 0) | (right > 0)).astype("uint8") * 255
 
-        img = cv2.resize(img, size, interpolation=cv2.INTER_AREA)
-        mask = cv2.resize(mask, size, interpolation=cv2.INTER_NEAREST)
+        # cv2 dsize is (width, height); size is (rows, cols)
+        dsize = (size[1], size[0])
+        img = cv2.resize(img, dsize, interpolation=cv2.INTER_AREA)
+        mask = cv2.resize(mask, dsize, interpolation=cv2.INTER_NEAREST)
         imageio.imwrite(os.path.join(out_root, "images", split, name), img.astype("uint8"))
         imageio.imwrite(os.path.join(out_root, "labels", split, name), mask)
 
@@ -190,8 +192,9 @@ def prepare_nih(raw_root: str, out_root: str, size: Tuple[int, int] = (256, 256)
             lab = np.asarray(imageio.imread(lab_path))
             if img.ndim == 3:
                 img = img[..., 0]
-            img = cv2.resize(img, size, interpolation=cv2.INTER_AREA)
-            lab = cv2.resize(lab, size, interpolation=cv2.INTER_NEAREST)
+            # cv2 dsize is (width, height); size is (rows, cols)
+            img = cv2.resize(img, (size[1], size[0]), interpolation=cv2.INTER_AREA)
+            lab = cv2.resize(lab, (size[1], size[0]), interpolation=cv2.INTER_NEAREST)
             os.makedirs(os.path.join(out_root, "images", split), exist_ok=True)
             os.makedirs(os.path.join(out_root, "labels", split), exist_ok=True)
             imageio.imwrite(os.path.join(out_root, "images", split, name), img.astype("uint8"))

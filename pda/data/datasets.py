@@ -91,15 +91,28 @@ class _PatchDatasetBase:
         self.seed = seed
         self.sample_random_index = n_samples is not None
         self._len = n_samples if n_samples is not None else n_images
-        self._cache: dict = {}
+        from collections import OrderedDict
+
+        self._cache: "OrderedDict" = OrderedDict()
+        #: decode-cache bound (images, LRU). LIVECell-scale splits hold
+        #: thousands of frames; an unbounded cache pins them all in every
+        #: worker process. Override with PDA_IMAGE_CACHE (0 disables).
+        self._cache_max = int(os.environ.get("PDA_IMAGE_CACHE", "256"))
 
     def _load(self, item) -> np.ndarray:
-        """Path-or-array image access with a per-dataset decode cache."""
+        """Path-or-array image access with a per-dataset bounded LRU cache."""
         if isinstance(item, np.ndarray):
             return item
-        if item not in self._cache:
-            self._cache[item] = load_image(item)
-        return self._cache[item]
+        cached = self._cache.get(item)
+        if cached is not None:
+            self._cache.move_to_end(item)
+            return cached
+        img = load_image(item)
+        if self._cache_max > 0:
+            self._cache[item] = img
+            while len(self._cache) > self._cache_max:
+                self._cache.popitem(last=False)
+        return img
 
     def __len__(self) -> int:
         return self._len
@@ -440,6 +453,13 @@ class LazyH5Volume:
                 )
             first = self._start + i * self._step
         elif isinstance(first, slice):
+            if first.step is not None and first.step < 0:
+                # mapping a negative-step stop through _start produces -1,
+                # which h5py reinterprets as "last element" (empty read)
+                raise IndexError(
+                    "negative-step slices are not supported on the lazy "
+                    "ROI axis; read the window and reverse on the host"
+                )
             lo, hi, st = first.indices(self.shape[0])
             first = slice(
                 self._start + lo * self._step,

@@ -77,12 +77,29 @@ class Compose:
         return x
 
 
+def _takes_rng(t: Callable) -> bool:
+    """Does the transform accept the rng? Decided by the presence of a
+    parameter literally named ``rng`` in its signature — every random
+    transform in this module declares one. NOT decided by try/except
+    TypeError (which can silently bind the Generator to an unrelated
+    positional like standardize's ``mean``, or mask a genuine TypeError
+    raised inside the transform), and NOT by positional arity (same trap)."""
+    import inspect
+
+    try:
+        sig = inspect.signature(t)
+    except (TypeError, ValueError):
+        # builtins/extensions without introspectable signatures: assume the
+        # random-transform convention
+        return True
+    return "rng" in sig.parameters
+
+
 def _call(t: Callable, x: np.ndarray, rng: np.random.Generator) -> np.ndarray:
     """Call a transform that may or may not take the rng."""
-    try:
+    if _takes_rng(t):
         return t(x, rng)
-    except TypeError:
-        return t(x)
+    return t(x)
 
 
 class RandomApply:
@@ -122,7 +139,9 @@ class GaussianBlur:
             return out[..., None] if squeeze else out
         from scipy.ndimage import gaussian_filter
 
-        return gaussian_filter(x, sigma)
+        # blur the spatial axes only — the cv2 path above treats a trailing
+        # channel axis as independent planes, and so must the fallback
+        return gaussian_filter(x, (sigma, sigma) + (0,) * (x.ndim - 2))
 
 
 class AdditiveGaussianNoise:
@@ -289,7 +308,13 @@ class JointAugmentations:
         return out
 
     def __call__(self, arrays: Sequence[np.ndarray], rng: np.random.Generator):
-        k = int(rng.integers(0, 4))
+        h0, w0 = arrays[0].shape[:2]
+        if h0 == w0:
+            k = int(rng.integers(0, 4))
+        else:
+            # odd quarter-turns swap H/W, which would make samples of a
+            # non-square patch_shape un-stackable — restrict to 180 degrees
+            k = 2 * int(rng.integers(0, 2))
         flip_h = rng.random() < self.p_flip
         flip_v = rng.random() < self.p_flip
         do_elastic = self.p_elastic > 0 and rng.random() < self.p_elastic

@@ -231,6 +231,14 @@ def punet_pseudo_prediction(
         pattern = os.path.join(input_image_path, cellname, f"{cellname}*.tif")
     else:
         pattern = os.path.join(input_image_path, f"{cellname or ''}*.tif")
+    image_paths = sorted(glob(pattern))
+    if not image_paths:
+        # fail BEFORE clean_folder wipes prior exports: an empty glob here
+        # (wrong layout / wrong cellname) would otherwise silently leave an
+        # empty pseudo-label tree for downstream target training
+        raise FileNotFoundError(
+            f"no input images match {pattern!r} — nothing to pseudo-label"
+        )
     dir1 = os.path.join(output_pred_path, "annotations", split_name or "", cellname or "")
     dir2 = os.path.join(output_pred_path, "consensus", split_name or "", cellname or "")
     os.makedirs(dir1, exist_ok=True)
@@ -239,7 +247,7 @@ def punet_pseudo_prediction(
     clean_folder(dir1)
     clean_folder(dir2)
 
-    for img_path in sorted(glob(pattern)):
+    for img_path in image_paths:
         img_name = os.path.basename(img_path)
         img = _read_image(img_path)[..., None]
         key, sub = jax.random.split(key)

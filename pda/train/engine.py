@@ -129,7 +129,14 @@ class Trainer:
     # -- setup ----------------------------------------------------------------
 
     def _example_batch(self):
-        return next(iter(self.train_loader))
+        try:
+            return next(iter(self.train_loader))
+        except StopIteration:
+            raise RuntimeError(
+                "train loader yielded zero batches — the dataset is empty "
+                "(n_samples too small for the sample count, or no matching "
+                "files)"
+            ) from None
 
     def _dp_shard_map(self) -> bool:
         """Run steps through ``jax.shard_map`` (manual SPMD) for data
@@ -290,6 +297,7 @@ class Trainer:
         self.throughput = throughput
 
         while self._iteration < iterations:
+            epoch_start = self._iteration
             for batch in self.train_batches():
                 batch = self._put(batch)
                 self.state, metrics = self._train_step_jit(self.state, *batch)
@@ -316,6 +324,12 @@ class Trainer:
                 if self._iteration >= iterations:
                     break
 
+            if self._iteration == epoch_start:
+                raise RuntimeError(
+                    "train loader yielded zero batches — the dataset is "
+                    "empty (n_samples too small for the sample count, or no "
+                    "matching files); training would loop forever"
+                )
             throughput.stop()
             val_metrics = self.validate()
             throughput.start()
@@ -616,7 +630,14 @@ class _JointTrainer(_PUNetInitMixin, Trainer):
         return self.model.init(key, jnp.asarray(xs), jnp.asarray(y))["params"]
 
     def _example_batch(self):
-        return next(self.train_batches())
+        try:
+            return next(self.train_batches())
+        except StopIteration:
+            raise RuntimeError(
+                "joint train stream yielded zero batches — one of the "
+                "source/target loaders is empty (n_samples too small for "
+                "the sample count, or no matching files)"
+            ) from None
 
 
 class AdaMTTrainer(_JointTrainer):

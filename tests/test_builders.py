@@ -269,6 +269,14 @@ class TestAcquisition:
         assert x.shape == (2, 32, 32, 1)
         assert set(np.unique(y)) <= {0.0, 1.0}
 
+        # a list of splits concatenates every sample x split volume
+        # (torch_em semantics; round-2 review finding)
+        both = get_mitoem_loader(
+            str(tmp_path), ["train", "val"], (1, 32, 32), 2,
+            samples=("human",), binary=True,
+        )
+        assert len(both.dataset) == n_train + n_val
+
 
 class TestClassDistribution:
     def test_compute_class_distribution(self, tmp_path):
@@ -285,3 +293,66 @@ class TestClassDistribution:
         iio.imwrite(d / "b.tif", b)
         bg, fg = compute_class_distribution(str(d))
         assert abs(fg - 0.25) < 1e-6 and abs(bg - 0.75) < 1e-6
+
+
+class TestPseudoTreeStrictness:
+    """get_my_livecell_loader must NEVER substitute ground-truth
+    rasterizations for missing pseudo-label exports (round-2 review finding;
+    the reference silently does — my_livecell.py:89-103 — invalidating a
+    partially-exported self-training run)."""
+
+    def _fixture(self, tmp_path):
+        import json
+
+        import imageio.v3 as iio
+
+        root = tmp_path / "livecell"
+        img_dir = root / "images" / "livecell_train_val_images" / "A172"
+        img_dir.mkdir(parents=True)
+        iio.imwrite(img_dir / "A172_img.tif", np.zeros((32, 40), np.uint8))
+        data = {
+            "images": [
+                {"id": 1, "file_name": "A172_img.tif", "height": 32, "width": 40}
+            ],
+            "categories": [{"id": 1, "name": "cell"}],
+            "annotations": [{
+                "id": 1, "image_id": 1, "category_id": 1,
+                "segmentation": [[5, 5, 15, 5, 15, 15, 5, 15]],
+            }],
+        }
+        (root / "train.json").write_text(json.dumps(data))
+        return root
+
+    def test_missing_pseudo_label_raises(self, tmp_path):
+        from pda.data.builders.livecell import get_my_livecell_loader
+
+        root = self._fixture(tmp_path)
+        label_root = tmp_path / "exports"  # empty pseudo tree
+        with pytest.raises(FileNotFoundError, match="get_pseudo_labels"):
+            get_my_livecell_loader(
+                str(root), (16, 16), "train",
+                label_path=str(label_root), cell_types=["A172"],
+            )
+        # and nothing was written into the pseudo tree
+        assert not list(label_root.rglob("*.tif")) if label_root.exists() else True
+
+    def test_complete_pseudo_tree_loads(self, tmp_path):
+        import imageio.v3 as iio
+
+        from pda.data.builders.livecell import get_my_livecell_loader
+
+        root = self._fixture(tmp_path)
+        label_root = tmp_path / "exports"
+        ann = label_root / "annotations" / "livecell_train_val_images" / "A172"
+        con = label_root / "consensus" / "livecell_train_val_images" / "A172"
+        ann.mkdir(parents=True)
+        con.mkdir(parents=True)
+        iio.imwrite(ann / "A172_img.tif",
+                    np.random.default_rng(0).random((32, 40)).astype(np.float32))
+        iio.imwrite(con / "A172_img.tif", np.ones((32, 40), np.uint8))
+        loader = get_my_livecell_loader(
+            str(root), (16, 16), "train",
+            label_path=str(label_root), cell_types=["A172"], binary=True,
+        )
+        x, y, z = next(iter(loader))
+        assert x.shape == (1, 16, 16, 1) and z.shape == (1, 16, 16, 1)

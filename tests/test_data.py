@@ -256,3 +256,93 @@ class TestLoader:
         e1 = np.concatenate([b[0] for b in loader])
         e2 = np.concatenate([b[0] for b in loader])
         assert not np.allclose(e1, e2)
+
+
+class TestReviewRegressions:
+    """Regressions for the round-2 review findings (data path)."""
+
+    def test_nonsquare_patches_stack(self):
+        # odd quarter-turns must be suppressed on non-square patches or
+        # samples become un-stackable mid-epoch
+        from pda.data.transforms import get_augmentations
+
+        aug = get_augmentations(ndim=2, p_elastic=0.0)
+        raws, labels = make_dataset_arrays(4, (96, 64))
+        ds = ImageCollectionDataset(
+            raws, labels, patch_shape=(64, 32), transform=aug
+        )
+        for i in range(8):
+            x, y = ds[i % len(ds)]
+            assert x.shape == (64, 32, 1), x.shape
+            assert y.shape == (64, 32, 1), y.shape
+
+    def test_square_patches_still_rotate(self):
+        from pda.data.transforms import get_augmentations
+
+        aug = get_augmentations(ndim=2, p_elastic=0.0)
+        rng = np.random.default_rng(3)
+        a = np.arange(16.0, dtype=np.float32).reshape(4, 4, 1)
+        rotated = False
+        for _ in range(32):
+            (out,) = aug([a], rng)
+            assert out.shape == a.shape
+            if not np.array_equal(out, a):
+                rotated = True
+        assert rotated
+
+    def test_gaussian_blur_fallback_keeps_channels_independent(self, monkeypatch):
+        from pda.data import transforms as T
+
+        monkeypatch.setattr(T, "_HAS_CV2", False)
+        rng = np.random.default_rng(0)
+        x = np.zeros((33, 33, 2), np.float32)
+        x[16, 16, 0] = 1.0  # impulse in channel 0 only
+        out = T.GaussianBlur(sigma=(2.0, 2.0))(x, rng)
+        assert float(np.abs(out[..., 1]).max()) == 0.0, "channel bleed"
+        assert float(out[..., 0].max()) > 0.0
+
+    def test_compose_rng_dispatch_by_signature(self):
+        from pda.data.transforms import Compose, standardize
+
+        seen = {}
+
+        def takes_rng(x, rng):
+            seen["rng"] = rng
+            return x
+
+        def no_rng(x):
+            return x + 1.0
+
+        rng = np.random.default_rng(0)
+        x = np.ones((4, 4), np.float32) * 5.0
+        out = Compose(standardize, takes_rng, no_rng)(x, rng)
+        assert seen["rng"] is rng
+        assert np.isfinite(out).all()
+
+    def test_lazy_h5_rejects_negative_step(self, tmp_path, monkeypatch):
+        import h5py
+
+        from pda.data.datasets import LazyH5Volume
+
+        p = tmp_path / "v.h5"
+        with h5py.File(p, "w") as f:
+            f.create_dataset("raw", data=np.arange(24.0).reshape(6, 2, 2))
+        vol = LazyH5Volume(str(p), "raw", roi=slice(1, 5))
+        with pytest.raises(IndexError):
+            vol[::-1]
+
+    def test_image_cache_is_bounded(self, tmp_path):
+        import imageio.v3 as iio
+
+        raws, labels = make_dataset_arrays(8, (32, 32))
+        ipaths, lpaths = [], []
+        for i, (r, l) in enumerate(zip(raws, labels)):
+            ip, lp = tmp_path / f"i{i}.tif", tmp_path / f"l{i}.tif"
+            iio.imwrite(ip, r.astype(np.float32))
+            iio.imwrite(lp, l.astype(np.uint8))
+            ipaths.append(str(ip)); lpaths.append(str(lp))
+        ds = ImageCollectionDataset(ipaths, lpaths, patch_shape=(16, 16))
+        ds._cache_max = 3
+        for i in range(len(ds)):
+            ds[i]
+        assert len(ds._cache) <= 3

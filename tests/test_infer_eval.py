@@ -3,6 +3,8 @@ pseudo-label export/ingest round-trip, dice runners."""
 
 import os
 
+import pytest
+
 import jax
 import jax.numpy as jnp
 import numpy as np
@@ -231,3 +233,27 @@ class TestDiceRunners:
             str(gt2_dir) + os.sep, str(pred2_dir) + os.sep, "jsrt2", verbose=False
         )
         assert abs(score - 1.0) < 1e-5
+
+
+class TestPseudoPredictionGuards:
+    def test_empty_glob_fails_before_wiping_exports(self, tmp_path):
+        """A glob matching nothing must raise BEFORE clean_folder deletes the
+        previous export tree (round-2 review finding)."""
+        import imageio.v3 as imageio
+
+        out = str(tmp_path / "pseudo") + os.sep
+        prior = os.path.join(out, "annotations", "train", "img")
+        os.makedirs(prior)
+        imageio.imwrite(
+            os.path.join(prior, "old.tif"), np.zeros((8, 8), np.float32)
+        )
+        empty_in = tmp_path / "imgs"
+        empty_in.mkdir()
+        with pytest.raises(FileNotFoundError, match="no input images"):
+            punet_pseudo_prediction(
+                str(empty_in), out, None, None,
+                prior_samples=2, cellname="img", split_name="train",
+                verbose=False,
+            )
+        # the stale export survived the failed call
+        assert os.listdir(prior) == ["old.tif"]

@@ -386,3 +386,55 @@ class TestPlateauScheduler:
         assert lr == 1.0
         lr = sched.step(2.0, lr)  # bad epoch 3 > patience
         assert lr == 0.5
+
+
+class TestEmptyLoaderGuard:
+    def test_fit_raises_on_zero_batches(self, tmp_path):
+        # an empty train loader must error, not loop forever validating
+        # (round-2 review finding on engine._fit_impl)
+        raws, labels = make_dataset_arrays(2, (64, 64))
+        ds = ImageCollectionDataset(
+            raws, labels, patch_shape=PATCH, n_samples=0
+        )
+        _, val = sup_loaders(tmp_path)
+        tr = PUNetTrainer(
+            name="empty",
+            model=punet(),
+            train_loader=Loader(ds, 2, seed=0),
+            val_loader=val,
+            save_root=str(tmp_path),
+            learning_rate=1e-3,
+        )
+        with pytest.raises(RuntimeError, match="zero batches"):
+            tr.fit(2)
+
+    def test_joint_fit_raises_when_zip_is_empty(self, tmp_path):
+        # joint trainers zip source+target streams; an empty TARGET stream
+        # with a non-empty source used to loop forever (init peeks only the
+        # source loader)
+        raws, labels = make_dataset_arrays(2, (64, 64))
+        src_ds = ImageCollectionDataset(raws, labels, patch_shape=PATCH)
+        empty = ImageCollectionDataset(
+            raws, labels, patch_shape=PATCH, n_samples=0
+        )
+        aug = Compose(standardize)
+        raws2, labels2 = make_dataset_arrays(2, (64, 64))
+        dual_empty = DualImageCollectionDataset(
+            raws2, labels2, patch_shape=PATCH, n_samples=0,
+            augmentation1=aug, augmentation2=aug,
+        )
+        dual_val = DualImageCollectionDataset(
+            raws2, labels2, patch_shape=PATCH,
+            augmentation1=aug, augmentation2=aug,
+        )
+        tr = AdaMTTrainer(
+            name="empty-joint",
+            model=punet(),
+            source_train_loader=Loader(src_ds, 2, seed=0),
+            target_train_loader=Loader(dual_empty, 2, seed=0),
+            val_loader=Loader(dual_val, 1, seed=1),
+            save_root=str(tmp_path),
+            learning_rate=1e-3,
+        )
+        with pytest.raises(RuntimeError, match="zero batches"):
+            tr.fit(2)
