@@ -89,10 +89,20 @@ void pda_crop(const float *src, int64_t H, int64_t W, int64_t y0, int64_t x0,
 // on float images: automatic ksize = round(8*sigma + 1) | 1, i.e. kernel
 // radius ~4*sigma — the same truncation the numpy fallback path
 // (pda.data.transforms.GaussianBlur -> cv2) uses, so toggling
-// PDA_NATIVE_AUGS does not change the augmentation distribution. The radius
-// is additionally clamped to the image extent so the single-reflection
-// border indexing below can never leave the buffer.
+// PDA_NATIVE_AUGS does not change the augmentation distribution. Border
+// taps reflect (BORDER_REFLECT_101) REPEATEDLY like cv2, so kernels wider
+// than a thin image still match cv2 exactly.
 // ---------------------------------------------------------------------------
+
+
+static inline int64_t reflect101(int64_t i, int64_t n) {
+  // cv2 BORDER_REFLECT_101, iterated for kernels wider than the axis
+  if (n == 1) return 0;
+  const int64_t period = 2 * (n - 1);
+  i %= period;
+  if (i < 0) i += period;
+  return i < n ? i : period - i;
+}
 
 static void blur_axis(const float *src, float *dst, int64_t h, int64_t w,
                       const float *k, int radius, int axis) {
@@ -104,9 +114,7 @@ static void blur_axis(const float *src, float *dst, int64_t h, int64_t w,
       float *out = dst + y * w;
       for (int64_t x = 0; x < w; ++x) out[x] = 0.0f;
       for (int t = -radius; t <= radius; ++t) {
-        int64_t yy = y + t;
-        if (yy < 0) yy = -yy;  // reflect101
-        if (yy >= h) yy = 2 * h - 2 - yy;
+        const int64_t yy = reflect101(y + t, h);
         const float kv = k[t + radius];
         const float *row = src + yy * w;
         for (int64_t x = 0; x < w; ++x) out[x] += kv * row[x];
@@ -134,14 +142,29 @@ static void blur_axis(const float *src, float *dst, int64_t h, int64_t w,
       }
       float acc = 0.0f;
       for (int t = -radius; t <= radius; ++t) {
-        int64_t xx = x + t;
-        if (xx < 0) xx = -xx;
-        if (xx >= w) xx = 2 * w - 2 - xx;
-        acc += k[t + radius] * row[xx];
+        acc += k[t + radius] * row[reflect101(x + t, w)];
       }
       out[x] = acc;
     }
   }
+}
+
+static int make_gauss_kernel(float sigma, int max_radius, float *kern) {
+  // cv2 automatic size for float depth: ksize = round(8*sigma + 1) | 1
+  int ksize = (int)std::lround(8.0 * (double)sigma + 1.0);
+  if ((ksize & 1) == 0) ksize += 1;
+  int radius = ksize / 2;
+  if (radius > 64) radius = 64;
+  if (radius > max_radius) radius = max_radius;
+  if (radius < 1) return 0;
+  double ksum = 0.0;
+  for (int t = -radius; t <= radius; ++t) {
+    const double v = std::exp(-0.5 * (double)t * t / ((double)sigma * sigma));
+    kern[t + radius] = (float)v;
+    ksum += v;
+  }
+  for (int t = 0; t <= 2 * radius; ++t) kern[t] = (float)(kern[t] / ksum);
+  return radius;
 }
 
 void pda_gaussian_blur(const float *src, float *dst, int64_t h, int64_t w,
@@ -150,29 +173,26 @@ void pda_gaussian_blur(const float *src, float *dst, int64_t h, int64_t w,
     std::memcpy(dst, src, (size_t)(h * w) * sizeof(float));
     return;
   }
-  // cv2 automatic size for float depth: ksize = round(8*sigma + 1) | 1
-  int ksize = (int)std::lround(8.0 * (double)sigma + 1.0);
-  if ((ksize & 1) == 0) ksize += 1;
-  int radius = ksize / 2;
-  if (radius < 1) radius = 1;
-  if (radius > 64) radius = 64;
-  // single-reflection border handling requires radius <= dim - 1
-  if (radius > (int)h - 1) radius = (int)h - 1;
-  if (radius > (int)w - 1) radius = (int)w - 1;
-  if (radius < 1) {  // degenerate 1-pixel axis: nothing to blur over
+  // reflect101 iterates, so the radius needs no clamping to the axis
+  // extent (clamping would truncate the long-axis kernel on thin images,
+  // breaking cv2 parity) — only degenerate 1-pixel axes skip their pass
+  float ky[129], kx[129];
+  const int ry = h > 1 ? make_gauss_kernel(sigma, 64, ky) : 0;
+  const int rx = w > 1 ? make_gauss_kernel(sigma, 64, kx) : 0;
+  if (ry < 1 && rx < 1) {
     std::memcpy(dst, src, (size_t)(h * w) * sizeof(float));
     return;
   }
-  float kern[129];
-  double ksum = 0.0;
-  for (int t = -radius; t <= radius; ++t) {
-    const double v = std::exp(-0.5 * (double)t * t / ((double)sigma * sigma));
-    kern[t + radius] = (float)v;
-    ksum += v;
+  const float *cur = src;
+  if (ry >= 1) {
+    blur_axis(cur, scratch, h, w, ky, ry, 0);
+    cur = scratch;
   }
-  for (int t = 0; t <= 2 * radius; ++t) kern[t] = (float)(kern[t] / ksum);
-  blur_axis(src, scratch, h, w, kern, radius, 0);
-  blur_axis(scratch, dst, h, w, kern, radius, 1);
+  if (rx >= 1) {
+    blur_axis(cur, dst, h, w, kx, rx, 1);
+  } else {
+    std::memcpy(dst, cur, (size_t)(h * w) * sizeof(float));
+  }
 }
 
 // ---------------------------------------------------------------------------

@@ -145,12 +145,29 @@ def crop(src: np.ndarray, y0: int, x0: int, h: int, w: int) -> np.ndarray:
     return out
 
 
+def _plane_2d(x: np.ndarray, what: str) -> np.ndarray:
+    """The C kernels are 2-D plane operators: accept (H, W) or (H, W, 1)
+    and return the plane view — anything else would silently process the
+    first H*W floats of an interleaved buffer as if they were the image."""
+    if x.ndim == 3 and x.shape[-1] == 1:
+        return x[..., 0]
+    if x.ndim == 2:
+        return x
+    raise ValueError(
+        f"{what} handles (H, W) / (H, W, 1) images, got {x.shape}"
+    )
+
+
 def gaussian_blur(x: np.ndarray, sigma: float) -> np.ndarray:
     lib = _lib()
     x = np.ascontiguousarray(x, dtype=np.float32)
+    plane = _plane_2d(x, "gaussian_blur")
     out = np.empty_like(x)
-    scratch = np.empty_like(x)
-    lib.pda_gaussian_blur(x, out, x.shape[0], x.shape[1], sigma, scratch)
+    scratch = np.empty_like(plane)
+    lib.pda_gaussian_blur(
+        plane, out.reshape(plane.shape), plane.shape[0], plane.shape[1],
+        sigma, scratch,
+    )
     return out
 
 
@@ -211,9 +228,10 @@ def elastic_warp(
     loader hot path (~20x faster at 512^2)."""
     lib = _lib()
     x = np.ascontiguousarray(x, dtype=np.float32)
+    plane = _plane_2d(x, "elastic_warp")
     out = np.empty_like(x)
     lib.pda_elastic_warp(
-        x, out, x.shape[0], x.shape[1],
+        plane, out.reshape(plane.shape), plane.shape[0], plane.shape[1],
         np.ascontiguousarray(dy, dtype=np.float32),
         np.ascontiguousarray(dx, dtype=np.float32),
         order,

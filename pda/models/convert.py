@@ -78,11 +78,13 @@ def convert_punet_state_dict(
     state: Dict,
     *,
     num_filters=(64, 128, 256, 512),
-    latent_dim: int = 6,
     no_convs_fcomb: int = 3,
     no_convs_per_block: int = 3,
 ) -> Dict:
-    """torch ``model_state`` dict -> pda ProbabilisticUnet params pytree."""
+    """torch ``model_state`` dict -> pda ProbabilisticUnet params pytree.
+
+    The latent dimension needs no parameter: it is implicit in the encoder
+    head / Fcomb weight shapes being copied."""
     depth = len(num_filters)
     n = no_convs_per_block
     params: Dict = {"unet": {}, "prior": {}, "posterior": {}, "fcomb": {}}
@@ -136,8 +138,8 @@ def load_torch_checkpoint(
     *,
     key: str = "model_state",
     num_filters=(64, 128, 256, 512),
-    latent_dim: int = 6,
     no_convs_fcomb: int = 3,
+    no_convs_per_block: int = 3,
 ) -> Dict:
     """Load a reference ``best.pt``/``latest.pt`` and convert the selected
     state (``model_state`` or ``teacher_state``) to a pda params pytree."""
@@ -148,6 +150,6 @@ def load_torch_checkpoint(
     return convert_punet_state_dict(
         state,
         num_filters=num_filters,
-        latent_dim=latent_dim,
         no_convs_fcomb=no_convs_fcomb,
+        no_convs_per_block=no_convs_per_block,
     )

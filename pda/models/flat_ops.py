@@ -223,6 +223,19 @@ def mean_flat_packed(xf: jax.Array, h: int, w: int, c: int) -> jax.Array:
     return (s[:, :c] + s[:, c:]) / jnp.asarray(h * w, s.dtype)
 
 
+def module_flat_plan(x, num_filters, n_convs_per_block: int, *, with_decoder: bool):
+    """Shared eligibility gate for the flat activation pipeline — used by
+    both PUNetBackbone and GaussianEncoder so their gating can never drift
+    (None = take the image path). Only eligible on TPU with the Pallas
+    kernels enabled and the 3-conv block shape the kernels serve."""
+    from .blocks import pallas_conv_enabled
+
+    if n_convs_per_block != 3 or not pallas_conv_enabled():
+        return None
+    b, h, w, cin = x.shape
+    return flat_pipeline_plan(h, w, cin, num_filters, with_decoder=with_decoder)
+
+
 def flat_pipeline_plan(h: int, w: int, cin: int, filters, *, with_decoder: bool):
     """Decide whether a whole conv pyramid (and optionally the UNet decoder)
     can run flat end-to-end at this geometry, and which levels use the

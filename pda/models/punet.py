@@ -59,14 +59,10 @@ class GaussianEncoder(nn.Module):
     dtype: jnp.dtype = jnp.float32
 
     def _flat_plan(self, x: jax.Array):
-        from .blocks import pallas_conv_enabled
-        from .flat_ops import flat_pipeline_plan
+        from .flat_ops import module_flat_plan
 
-        if self.n_convs_per_block != 3 or not pallas_conv_enabled():
-            return None
-        b, h, w, cin = x.shape
-        return flat_pipeline_plan(
-            h, w, cin, self.num_filters, with_decoder=False
+        return module_flat_plan(
+            x, self.num_filters, self.n_convs_per_block, with_decoder=False
         )
 
     @nn.compact
@@ -304,6 +300,16 @@ def decode(model: ProbabilisticUnet, params, features, z) -> jax.Array:
     return model.apply({"params": params}, features, z, method="decode")
 
 
+def _mid_keys(fcomb_params):
+    """Fcomb mid-layer keys in NUMERIC order (lexicographic sorted() would
+    put mid_10 before mid_2 once no_convs_fcomb >= 13, silently diverging
+    from Fcomb.decode_from_term's numeric iteration)."""
+    return sorted(
+        (k for k in fcomb_params if k.startswith("mid_")),
+        key=lambda k: int(k.split("_")[1]),
+    )
+
+
 def _bd2(w: jax.Array) -> jax.Array:
     from .flat_ops import block_diag2
 
@@ -343,7 +349,7 @@ def fcomb_decode_from_term_flat(
     if packed:
         zt = jnp.concatenate([zt, zt], axis=-1)
     hid = nn.relu(term + zt[:, None, :])
-    for m in sorted(k for k in fcomb_params if k.startswith("mid_")):
+    for m in _mid_keys(fcomb_params):
         wk = fcomb_params[m]["kernel"].astype(dt)
         bk = fcomb_params[m]["bias"].astype(dt)
         if packed:
@@ -385,7 +391,7 @@ def _mc_decode_logits_paired(model, params, features, zs):
     zt2 = jnp.concatenate([zt[0::2], zt[1::2]], axis=-1)  # (S/2, B, 2C)
     feat2 = jnp.concatenate([feat_term, feat_term], axis=-1)
     h = nn.relu(feat2[None] + zt2[:, :, None, None, :])
-    for m in sorted(k for k in fc if k.startswith("mid_")):
+    for m in _mid_keys(fc):
         wk = _bd2(fc[m]["kernel"].astype(dt))
         bk = jnp.concatenate([fc[m]["bias"].astype(dt)] * 2)
         h = nn.relu(jnp.einsum("pbhwc,cd->pbhwd", h, wk) + bk)

@@ -38,14 +38,10 @@ class PUNetBackbone(nn.Module):
     def _flat_plan(self, x: jax.Array):
         """Flat-pipeline eligibility at this input geometry (None = image
         path). Only taken on TPU with the Pallas kernels enabled."""
-        from .blocks import pallas_conv_enabled
-        from .flat_ops import flat_pipeline_plan
+        from .flat_ops import module_flat_plan
 
-        if self.n_convs_per_block != 3 or not pallas_conv_enabled():
-            return None
-        b, h, w, cin = x.shape
-        return flat_pipeline_plan(
-            h, w, cin, self.num_filters, with_decoder=True
+        return module_flat_plan(
+            x, self.num_filters, self.n_convs_per_block, with_decoder=True
         )
 
     @nn.compact

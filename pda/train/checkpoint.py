@@ -52,12 +52,19 @@ def _atomic_write(path: str, data: bytes):
     """write-tmp + flush + fsync + rename: survives both process crashes and
     (on journaled filesystems with delayed allocation) power loss — without
     the fsync the rename can be journaled before the payload blocks land,
-    leaving a truncated file."""
-    with open(path + ".tmp", "wb") as f:
-        f.write(data)
-        f.flush()
-        os.fsync(f.fileno())
-    os.replace(path + ".tmp", path)
+    leaving a truncated file. The tmp name is pid-unique so two trainings
+    sharing a checkpoint dir cannot interleave writes into one inode before
+    the rename (each os.replace then publishes a complete payload)."""
+    tmp = f"{path}.tmp.{os.getpid()}"
+    try:
+        with open(tmp, "wb") as f:
+            f.write(data)
+            f.flush()
+            os.fsync(f.fileno())
+        os.replace(tmp, path)
+    finally:
+        if os.path.exists(tmp):
+            os.unlink(tmp)
 
 
 def checkpoint_dir(name: str, save_root: Optional[str] = None) -> str:

@@ -306,7 +306,9 @@ class Trainer:
                     if pending is not None:
                         step_idx, pm = pending
                         scalars = {k: float(v) for k, v in pm.items()}
-                        scalars["learning_rate"] = self.state.learning_rate
+                        lr = self.state.learning_rate
+                        if lr is not None:
+                            scalars["learning_rate"] = lr
                         self.logger.log_train(step_idx, scalars)
                     pending = (self._iteration, metrics)
                     if (
@@ -335,8 +337,15 @@ class Trainer:
             throughput.start()
             current = val_metrics.get("metric", val_metrics.get("loss", 0.0))
             if self.lr_scheduler is not None:
-                new_lr = self.lr_scheduler.step(current, self.state.learning_rate)
-                if new_lr != self.state.learning_rate:
+                lr = self.state.learning_rate
+                if lr is None:
+                    raise TypeError(
+                        "lr_scheduler requires an optax.inject_hyperparams-"
+                        "wrapped optimizer (pda.train.optim.adam); the "
+                        "provided optimizer does not expose a learning rate"
+                    )
+                new_lr = self.lr_scheduler.step(current, lr)
+                if new_lr != lr:
                     self.state = self.state.replace_lr(new_lr)
 
             self._train_time += time.time() - t_start

@@ -30,11 +30,22 @@ class ReduceLROnPlateau:
     factor: float = 0.9
     patience: int = 10
     min_lr: float = 0.0
+    #: relative improvement needed to count as "better" — torch's default
+    #: (threshold=1e-4, threshold_mode='rel', mode='min'): metric must drop
+    #: below best*(1 - threshold), else the epoch counts as bad. Without it,
+    #: infinitesimal noise-level improvements reset patience and the LR
+    #: never decays.
+    threshold: float = 1e-4
     best: float = field(default=float("inf"), init=False)
     num_bad_epochs: int = field(default=0, init=False)
 
+    def _is_better(self, metric: float) -> bool:
+        if self.best == float("inf"):
+            return True
+        return metric < self.best * (1.0 - self.threshold)
+
     def step(self, metric: float, current_lr: float) -> float:
-        if metric < self.best:
+        if self._is_better(metric):
             self.best = metric
             self.num_bad_epochs = 0
             return current_lr

@@ -28,8 +28,19 @@ class TrainState(struct.PyTreeNode):
     teacher_params: Optional[Any] = None
 
     def replace_lr(self, new_lr: float) -> "TrainState":
-        """Set the injected learning rate (ReduceLROnPlateau host hook)."""
+        """Set the injected learning rate (ReduceLROnPlateau host hook).
+
+        Requires an ``optax.inject_hyperparams``-wrapped optimizer (what
+        :func:`pda.train.optim.adam` builds); raises a clear error otherwise
+        instead of an AttributeError deep inside a train run."""
         opt_state = self.opt_state
+        if not hasattr(opt_state, "hyperparams"):
+            raise TypeError(
+                "replace_lr needs an optax.inject_hyperparams-wrapped "
+                "optimizer (use pda.train.optim.adam, or wrap your own); "
+                f"got opt_state {type(opt_state).__name__} without "
+                ".hyperparams — LR scheduling cannot mutate this optimizer"
+            )
         hyperparams = dict(opt_state.hyperparams)
         hyperparams["learning_rate"] = jnp.asarray(
             new_lr, dtype=jnp.asarray(hyperparams["learning_rate"]).dtype
@@ -37,8 +48,13 @@ class TrainState(struct.PyTreeNode):
         return self.replace(opt_state=opt_state._replace(hyperparams=hyperparams))
 
     @property
-    def learning_rate(self) -> float:
-        return float(self.opt_state.hyperparams["learning_rate"])
+    def learning_rate(self) -> Optional[float]:
+        """The injected learning rate, or None for optimizers that don't
+        expose one (plain optax transforms without inject_hyperparams)."""
+        hp = getattr(self.opt_state, "hyperparams", None)
+        if hp is None or "learning_rate" not in hp:
+            return None
+        return float(hp["learning_rate"])
 
 
 def create_train_state(

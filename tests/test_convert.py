@@ -86,7 +86,7 @@ def converted():
     rng = np.random.default_rng(0)
     state = synthetic_torch_state(rng)
     return state, convert_punet_state_dict(
-        state, num_filters=FILTERS, latent_dim=LATENT, no_convs_fcomb=N_FCOMB
+        state, num_filters=FILTERS, no_convs_fcomb=N_FCOMB
     )
 
 
@@ -94,7 +94,7 @@ class TestConverter:
     def test_structure_matches_template(self, converted):
         _, params = converted
         model = ProbabilisticUnet(
-            num_filters=FILTERS, latent_dim=LATENT, no_convs_fcomb=N_FCOMB,
+            num_filters=FILTERS, no_convs_fcomb=N_FCOMB,
             rl_swap=True, beta=1.0,
         )
         x0 = jnp.zeros((1, 32, 32, 1))
@@ -114,7 +114,7 @@ class TestConverter:
     def test_converted_params_run_forward(self, converted):
         _, params = converted
         model = ProbabilisticUnet(
-            num_filters=FILTERS, latent_dim=LATENT, no_convs_fcomb=N_FCOMB,
+            num_filters=FILTERS, no_convs_fcomb=N_FCOMB,
             rl_swap=True, beta=1.0,
         )
         params = jax.tree_util.tree_map(jnp.asarray, params)

@@ -154,3 +154,13 @@ class TestProbabilisticUnet:
         out = step(params, x, y, jax.random.PRNGKey(0))
         assert out.shape == (2, 32, 32, 1)
         assert bool(jnp.all(jnp.isfinite(out)))
+
+
+class TestFcombMidOrdering:
+    def test_mid_keys_numeric_order(self):
+        from pda.models.punet import _mid_keys
+
+        fake = {f"mid_{i}": None for i in range(12)}
+        fake["z_proj"] = None
+        keys = _mid_keys(fake)
+        assert keys == [f"mid_{i}" for i in range(12)]

@@ -137,3 +137,29 @@ def test_mutating_kernels_never_alias_input():
     native.add_gaussian_noise(view, 0.1, 5)
     native.random_contrast(view, 1.3)
     np.testing.assert_array_equal(src, before)
+
+
+class TestBlurGeometry:
+    def test_thin_image_matches_cv2(self):
+        """Kernels wider than an axis must still match cv2 (iterated
+        reflect101 borders — round-2 review finding)."""
+        cv2 = pytest.importorskip("cv2")
+        if not native.available():
+            pytest.skip("native library unavailable")
+        rng = np.random.default_rng(0)
+        for shape, sigma in [((8, 512), 3.0), ((512, 8), 3.0),
+                             ((5, 300), 4.0), ((3, 3), 5.0), ((1, 64), 2.0)]:
+            x = rng.random(shape).astype(np.float32)
+            ours = native.gaussian_blur(x, sigma)
+            ref = cv2.GaussianBlur(x, (0, 0), sigma)
+            np.testing.assert_allclose(ours, ref, atol=2e-5)
+
+    def test_blur_and_warp_reject_multichannel(self):
+        if not native.available():
+            pytest.skip("native library unavailable")
+        x = np.zeros((8, 8, 3), np.float32)
+        with pytest.raises(ValueError):
+            native.gaussian_blur(x, 2.0)
+        with pytest.raises(ValueError):
+            native.elastic_warp(x, np.zeros((8, 8), np.float32),
+                                np.zeros((8, 8), np.float32))

@@ -97,14 +97,13 @@ def ref_models():
         input_channels=1,
         num_classes=1,
         num_filters=list(FILTERS),
-        latent_dim=LATENT,
         no_convs_fcomb=N_FCOMB,
         beta=1.0,
         rl_swap=True,
     )
     ref.eval()
     params = convert_punet_state_dict(
-        ref.state_dict(), num_filters=FILTERS, latent_dim=LATENT, no_convs_fcomb=N_FCOMB
+        ref.state_dict(), num_filters=FILTERS, no_convs_fcomb=N_FCOMB
     )
     params = jax.tree_util.tree_map(jnp.asarray, params)
     return ref, params
@@ -116,7 +115,6 @@ def pda_model():
         input_channels=1,
         num_classes=1,
         num_filters=FILTERS,
-        latent_dim=LATENT,
         no_convs_fcomb=N_FCOMB,
         beta=1.0,
         rl_swap=True,

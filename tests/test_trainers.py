@@ -387,6 +387,32 @@ class TestPlateauScheduler:
         lr = sched.step(2.0, lr)  # bad epoch 3 > patience
         assert lr == 0.5
 
+    def test_rel_threshold_matches_torch_default(self):
+        # torch ReduceLROnPlateau(threshold=1e-4, mode='min', rel): an
+        # improvement smaller than best*1e-4 counts as a BAD epoch — without
+        # this, metric noise drifting down resets patience forever
+        sched = ReduceLROnPlateau(factor=0.5, patience=1)
+        lr = 1.0
+        lr = sched.step(1.0, lr)          # best = 1.0
+        lr = sched.step(0.99999, lr)      # < best but within rel threshold
+        assert sched.num_bad_epochs == 1
+        lr = sched.step(0.999985, lr)     # bad epoch 2 > patience -> reduce
+        assert lr == 0.5
+        lr = sched.step(0.9, lr)          # genuine improvement resets
+        assert sched.num_bad_epochs == 0 and sched.best == 0.9
+
+    def test_plain_optimizer_has_no_lr_and_raises_on_replace(self):
+        import optax
+
+        from pda.train.state import create_train_state
+
+        params = {"w": jnp.ones((2,))}
+        tx = optax.adam(1e-3)  # not inject_hyperparams-wrapped
+        st = create_train_state(params, tx, jax.random.PRNGKey(0))
+        assert st.learning_rate is None
+        with pytest.raises(TypeError, match="inject_hyperparams"):
+            st.replace_lr(1e-4)
+
 
 class TestEmptyLoaderGuard:
     def test_fit_raises_on_zero_batches(self, tmp_path):
