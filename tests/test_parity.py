@@ -17,10 +17,18 @@ The reference snapshot at HEAD has swapped input-channel wiring in both
 ``Encoder`` and ``Unet`` (probabilistic_unet.py:50-51, unet.py:27-28):
 ``input_dim = input_channels if i == 0 else output_dim`` uses the CURRENT
 block's width where the PREVIOUS block's is needed, so it crashes for any
-non-uniform ``num_filters``. It runs fine with uniform filters — so the
-real-reference parity tests below use uniform (16,16,16,16); the flagship
-non-uniform wiring is covered by the converter algebra tests in
-test_convert.py (which target the working wiring actual checkpoints have).
+non-uniform ``num_filters``. The suite therefore runs at TWO configs
+(VERDICT r2 next-round #4):
+
+  * ``uniform16`` (16,16,16,16): reference HEAD imported as-is — pins the
+    unmodified upstream code;
+  * ``flagship`` (64,128,256,512), ``no_convs_fcomb=3`` (the config every
+    real checkpoint has, LIVECell/livecell_punet.py:47-56): the reference
+    is loaded through an IN-MEMORY two-line source fix that restores the
+    intended upstream semantics (``num_filters[i-1]`` as the non-first
+    block's input width — matching SimonKohl/probabilistic_unet, which the
+    reference states it is based on). Nothing is written to disk; the
+    transform asserts it matched exactly the two broken lines.
 
 Only the ``torch_em.loss.dice.DiceLossWithLogits`` import is stubbed (the
 package is not installed here); the stub reproduces torch_em's channelwise
@@ -49,10 +57,78 @@ from pda.models.punet import mc_decode_logits  # noqa: E402
 
 REFERENCE = Path("/root/reference")
 
-FILTERS = (16, 16, 16, 16)  # uniform: the only wiring reference HEAD can run
 LATENT = 6
 N_FCOMB = 3
 HW = 64
+
+#: Parity configurations: uniform filters run reference HEAD unmodified; the
+#: flagship config needs the two-line wiring fix (see module docstring).
+CONFIGS = {
+    "uniform16": {"filters": (16, 16, 16, 16), "fixed_wiring": False},
+    "flagship": {"filters": (64, 128, 256, 512), "fixed_wiring": True},
+}
+
+#: The two swapped-wiring lines at reference HEAD -> intended upstream
+#: semantics (the PREVIOUS block's width feeds the non-first blocks).
+_WIRING_FIXES = {
+    "unet.py": (
+        "            input = self.input_channels if i == 0 else output\n",
+        "            input = self.input_channels if i == 0 else "
+        "self.num_filters[i-1]\n",
+    ),
+    "probabilistic_unet.py": (
+        "            input_dim = self.input_channels if i == 0 else output_dim\n",
+        "            input_dim = self.input_channels if i == 0 else "
+        "num_filters[i-1]\n",
+    ),
+}
+
+
+def _load_reference_punet(fixed_wiring: bool):
+    """Import the reference ProbabilisticUnet from the read-only mount.
+
+    ``fixed_wiring=False``: plain import of reference HEAD.
+    ``fixed_wiring=True``: build an in-memory package whose ``unet.py`` and
+    ``probabilistic_unet.py`` sources get the two-line wiring fix applied
+    before exec — no file is written anywhere, and each replacement asserts
+    it matched exactly once (if upstream ever fixes the wiring, the assert
+    fires and this path can be retired)."""
+    sys.modules.update(_torch_em_stub())
+    if not fixed_wiring:
+        sys.path.insert(0, str(REFERENCE))
+        try:
+            from prob_utils.my_models.probabilistic_unet import (  # noqa: PLC0415
+                ProbabilisticUnet as RefPUNet,
+            )
+        finally:
+            sys.path.remove(str(REFERENCE))
+        return RefPUNet
+
+    pkgdir = REFERENCE / "prob_utils" / "my_models"
+    root_name = "ref_fixed_wiring"
+    if f"{root_name}.my_models.probabilistic_unet" not in sys.modules:
+        root = types.ModuleType(root_name)
+        root.__path__ = []
+        mm = types.ModuleType(f"{root_name}.my_models")
+        mm.__path__ = [str(pkgdir)]
+        sys.modules[root_name] = root
+        sys.modules[f"{root_name}.my_models"] = mm
+        for name in ("utils", "unet_blocks", "unet", "probabilistic_unet"):
+            src_path = pkgdir / f"{name}.py"
+            src = src_path.read_text()
+            if f"{name}.py" in _WIRING_FIXES:
+                old, new = _WIRING_FIXES[f"{name}.py"]
+                assert src.count(old) == 1, (
+                    f"wiring-fix anchor not found exactly once in {name}.py — "
+                    "reference changed; re-check whether the fix is still needed"
+                )
+                src = src.replace(old, new)
+            mod = types.ModuleType(f"{root_name}.my_models.{name}")
+            mod.__package__ = f"{root_name}.my_models"
+            mod.__file__ = str(src_path)
+            sys.modules[f"{root_name}.my_models.{name}"] = mod
+            exec(compile(src, str(src_path), "exec"), mod.__dict__)
+    return sys.modules[f"{root_name}.my_models.probabilistic_unet"].ProbabilisticUnet
 
 
 def _torch_em_stub():
@@ -78,43 +154,41 @@ def _torch_em_stub():
     return {"torch_em": root, "torch_em.loss": loss_mod, "torch_em.loss.dice": dice_mod}
 
 
+@pytest.fixture(scope="module", params=list(CONFIGS))
+def cfg(request):
+    return CONFIGS[request.param]
+
+
 @pytest.fixture(scope="module")
-def ref_models():
+def ref_models(cfg):
     """(reference ProbabilisticUnet instance, converted pda params)."""
     if not REFERENCE.exists():
         pytest.skip("reference snapshot not mounted")
-    sys.modules.update(_torch_em_stub())
-    sys.path.insert(0, str(REFERENCE))
-    try:
-        from prob_utils.my_models.probabilistic_unet import (  # noqa: PLC0415
-            ProbabilisticUnet as RefPUNet,
-        )
-    finally:
-        sys.path.remove(str(REFERENCE))
+    RefPUNet = _load_reference_punet(cfg["fixed_wiring"])
 
     torch.manual_seed(0)
     ref = RefPUNet(
         input_channels=1,
         num_classes=1,
-        num_filters=list(FILTERS),
+        num_filters=list(cfg["filters"]),
         no_convs_fcomb=N_FCOMB,
         beta=1.0,
         rl_swap=True,
     )
     ref.eval()
     params = convert_punet_state_dict(
-        ref.state_dict(), num_filters=FILTERS, no_convs_fcomb=N_FCOMB
+        ref.state_dict(), num_filters=cfg["filters"], no_convs_fcomb=N_FCOMB
     )
     params = jax.tree_util.tree_map(jnp.asarray, params)
     return ref, params
 
 
 @pytest.fixture(scope="module")
-def pda_model():
+def pda_model(cfg):
     return ProbabilisticUnet(
         input_channels=1,
         num_classes=1,
-        num_filters=FILTERS,
+        num_filters=cfg["filters"],
         no_convs_fcomb=N_FCOMB,
         beta=1.0,
         rl_swap=True,
@@ -320,4 +394,141 @@ class TestPredictionParity:
             np.asarray(logits_fast),
             logits_ref.numpy().transpose(0, 1, 3, 4, 2),
             rtol=1e-3, atol=1e-4,
+        )
+
+
+class TestTrainingParity:
+    """TWO-SIDED training parity (VERDICT r2 next-round #3): from one
+    converted common init, train the ACTUAL reference torch model (CPU) and
+    the pda model for the same number of steps on the same synthetic task
+    with matched hyperparameters (Adam, lr, the exact reference loss
+    assembly -elbo + 1e-5*l2(posterior,prior,fcomb) — punet_trainer.py:29-34)
+    and assert the final validation Dice (soft, reference util.py:17-44;
+    8-sample MC mean sigmoid prediction, punet_trainer.py:70-86) matches
+    within 0.5 pt — the BASELINE.json acceptance metric for trained results.
+
+    The latent draws and their RNG streams are framework-specific, so this is
+    STATISTICAL parity of the training trajectory, not bitwise equality.
+    """
+
+    FILTERS = (16, 16, 16, 16)
+    HW = 64
+    N_STEPS = 120
+    LR = 1e-3
+    N_VAL_MC = 8
+
+    def _data(self):
+        from pda.data.synthetic import make_dataset_arrays
+
+        raws, labels = make_dataset_arrays(10, (self.HW, self.HW), seed=3)
+        raws = [(r - r.mean()) / (r.std() + 1e-7) for r in raws]
+        xs = np.stack(raws).astype(np.float32)[..., None]
+        ys = np.stack(labels).astype(np.float32)[..., None]
+        # fixed batch sequence, identical for both frameworks
+        rng = np.random.default_rng(11)
+        order = rng.integers(0, 8, size=(self.N_STEPS, 2))
+        train = [(xs[idx], ys[idx]) for idx in order]
+        val = (xs[8:], ys[8:])
+        return train, val
+
+    @staticmethod
+    def _soft_dice(pred, gt):
+        return float(2 * np.sum(gt * pred) / (np.sum(gt) + np.sum(pred) + 1e-7))
+
+    def _train_reference(self, ref, train, val):
+        opt = torch.optim.Adam(ref.parameters(), lr=self.LR)
+        l2 = lambda m: sum(W.norm(2) for W in m.parameters())  # noqa: E731
+        ref.train()
+        torch.manual_seed(123)
+        for x, y in train:
+            opt.zero_grad()
+            ref.forward(_t(x), _t(y), training=True)
+            elbo = ref.elbo(_t(y))
+            reg = l2(ref.posterior) + l2(ref.prior) + l2(ref.fcomb.layers)
+            loss = -elbo + 1e-5 * reg
+            loss.backward()
+            opt.step()
+        ref.eval()
+        dices = []
+        with torch.no_grad():
+            xv, yv = val
+            for i in range(xv.shape[0]):
+                ref.forward(_t(xv[i : i + 1]), None, training=False)
+                probs = torch.stack(
+                    [
+                        torch.sigmoid(ref.sample(testing=False))
+                        for _ in range(self.N_VAL_MC)
+                    ]
+                ).mean(0)
+                dices.append(
+                    self._soft_dice(probs.numpy().squeeze(), yv[i].squeeze())
+                )
+        return float(np.mean(dices))
+
+    def _train_pda(self, model, params, train, val):
+        from pda.train.optim import adam
+        from pda.train.state import create_train_state
+        from pda.train.steps import make_supervised_punet_step
+
+        tx = adam(self.LR)
+        state = create_train_state(params, tx, jax.random.PRNGKey(123))
+        step = jax.jit(make_supervised_punet_step(model, tx))
+        for x, y in train:
+            state, _ = step(state, jnp.asarray(x), jnp.asarray(y))
+        dices = []
+        key = jax.random.PRNGKey(7)
+        xv, yv = val
+        for i in range(xv.shape[0]):
+            enc = model.apply(
+                {"params": state.params}, jnp.asarray(xv[i : i + 1]),
+                method="encode",
+            )
+            key, k = jax.random.split(key)
+            zs = enc.prior.sample_n(k, self.N_VAL_MC)
+
+            def _decode(z):
+                return model.apply(
+                    {"params": state.params}, enc.features, z, method="decode"
+                )
+
+            probs = jnp.mean(jax.nn.sigmoid(jax.vmap(_decode)(zs)), axis=0)
+            dices.append(self._soft_dice(np.asarray(probs).squeeze(),
+                                         yv[i].squeeze()))
+        return float(np.mean(dices))
+
+    def test_trained_dice_within_half_point(self):
+        if not REFERENCE.exists():
+            pytest.skip("reference snapshot not mounted")
+        RefPUNet = _load_reference_punet(fixed_wiring=False)
+        torch.manual_seed(0)
+        ref = RefPUNet(
+            input_channels=1,
+            num_classes=1,
+            num_filters=list(self.FILTERS),
+            no_convs_fcomb=N_FCOMB,
+            beta=1.0,
+            rl_swap=True,
+        )
+        params = convert_punet_state_dict(
+            ref.state_dict(), num_filters=self.FILTERS, no_convs_fcomb=N_FCOMB
+        )
+        params = jax.tree_util.tree_map(jnp.asarray, params)
+        model = ProbabilisticUnet(
+            input_channels=1,
+            num_classes=1,
+            num_filters=self.FILTERS,
+            no_convs_fcomb=N_FCOMB,
+            beta=1.0,
+            rl_swap=True,
+        )
+        train, val = self._data()
+        dice_ref = self._train_reference(ref, train, val)
+        dice_pda = self._train_pda(model, params, train, val)
+        print(f"\ntraining parity: reference dice={dice_ref:.4f} "
+              f"pda dice={dice_pda:.4f} delta={abs(dice_ref-dice_pda):.4f}")
+        assert dice_ref > 0.70, f"reference side failed to learn: {dice_ref}"
+        assert dice_pda > 0.70, f"pda side failed to learn: {dice_pda}"
+        assert abs(dice_ref - dice_pda) <= 0.005, (
+            f"trained-dice delta {abs(dice_ref - dice_pda):.4f} exceeds 0.5 pt "
+            f"(ref {dice_ref:.4f} vs pda {dice_pda:.4f})"
         )
