@@ -84,35 +84,87 @@ def _write_tiff(path: str, data: np.ndarray):
     imageio.imwrite(path, np.ascontiguousarray(data))
 
 
-@partial(jax.jit, static_argnames=("model", "n_samples", "block", "halo", "mesh"))
+def _infer_shard_map(mesh) -> bool:
+    """Use manual SPMD (``jax.shard_map``) for mesh-sharded inference?
+
+    True on any multi-device 1-D mesh unless ``PDA_DP_IMPL=gspmd`` — the
+    training-side rule (engine.Trainer._dp_shard_map). The point on TPU:
+    each shard's body sees concrete per-shard tile shapes, so the fused
+    Pallas conv kernels run under tile parallelism instead of being pinned
+    off (GSPMD treats the custom calls as opaque and would replicate their
+    operands). The result is passed into the jitted predictor as a STATIC
+    argument (an env read inside the traced body would not participate in
+    the jit cache key)."""
+    return (
+        mesh is not None
+        and mesh.devices.size > 1
+        and len(mesh.axis_names) == 1
+        and os.environ.get("PDA_DP_IMPL", "shard_map") != "gspmd"
+    )
+
+
+@partial(
+    jax.jit,
+    static_argnames=("model", "n_samples", "block", "halo", "mesh", "shard_map"),
+)
 def _tiled_punet_probs(model, params, image, key, n_samples, block, halo,
-                       mesh=None):
+                       mesh=None, shard_map=None):
     """Full-frame mean MC probability map via the on-device tile pipeline.
 
     Under a ``mesh`` the tile batch is padded to a multiple of the device
-    count and its leading axis is EXPLICITLY sharded over every mesh axis —
-    the spatial analog of context parallelism for this conv workload
-    (SURVEY.md section 5.7). The constraint matters: with replicated params
-    and an unconstrained tile batch, GSPMD replicates the whole batch and
-    every device redundantly computes all tiles (verified on an 8-device
-    mesh: spec=P() without the constraint, 1/8 of the tiles per device
-    with it)."""
+    count and partitioned over the devices — the spatial analog of context
+    parallelism for this conv workload (SURVEY.md section 5.7). Two
+    implementations:
+
+      * manual SPMD (default on a 1-D mesh, ``_infer_shard_map``): the
+        encode -> MC-decode -> mean body runs inside ``jax.shard_map`` on
+        each shard's tile block with the fused Pallas kernels ALIVE; the
+        latent draws come from the global-batch noise slice
+        (``sharded_normal``), so the result is bit-identical to the
+        single-device program.
+      * GSPMD (2-D meshes / ``PDA_DP_IMPL=gspmd``): an explicit sharding
+        constraint on the tile batch. The constraint matters: with
+        replicated params and an unconstrained tile batch, GSPMD replicates
+        the whole batch and every device redundantly computes all tiles
+        (verified on an 8-device mesh). This path requires the plain XLA
+        conv path (the caller pins it — the Pallas custom calls are opaque
+        to the partitioner)."""
     tiles = tile_standardize(extract_tiles(image, block, halo))
     n_tiles = tiles.shape[0]
+
+    def _mc_mean(params, tiles, key, axis_name=None):
+        enc = model.apply({"params": params}, tiles, method="encode")
+        logits = mc_decode_logits(
+            model, params, enc.features, enc.prior, key, n_samples,
+            axis_name=axis_name,
+        )
+        return jnp.mean(jax.nn.sigmoid(logits), axis=0)
+
     if mesh is not None:
         from jax.sharding import NamedSharding, PartitionSpec as P
 
+        if shard_map is None:  # direct callers; prefer passing it explicitly
+            shard_map = _infer_shard_map(mesh)
         pad = (-n_tiles) % mesh.devices.size
         if pad:
             tiles = jnp.concatenate(
                 [tiles, jnp.zeros((pad, *tiles.shape[1:]), tiles.dtype)], axis=0
             )
+        if shard_map:
+            axis = mesh.axis_names[0]
+            probs = jax.shard_map(
+                partial(_mc_mean, axis_name=axis),
+                mesh=mesh,
+                in_specs=(P(), P(axis), P()),
+                out_specs=P(axis),
+                check_vma=False,
+            )(params, tiles, key)
+            probs = probs[:n_tiles]
+            return stitch_tiles(probs, image.shape[:2], block, halo)
         tiles = jax.lax.with_sharding_constraint(
             tiles, NamedSharding(mesh, P(mesh.axis_names, None, None, None))
         )
-    enc = model.apply({"params": params}, tiles, method="encode")
-    logits = mc_decode_logits(model, params, enc.features, enc.prior, key, n_samples)
-    probs = jnp.mean(jax.nn.sigmoid(logits), axis=0)[:n_tiles]
+    probs = _mc_mean(params, tiles, key)[:n_tiles]
     return stitch_tiles(probs, image.shape[:2], block, halo)
 
 
@@ -165,24 +217,27 @@ def punet_prediction(
 
     Reference: punet_prediction (punet_predictions.py:15-63). Passing a
     ``jax.sharding.Mesh`` shards the tile batch over its devices (spatially
-    parallel inference over ICI).
+    parallel inference over ICI): via ``jax.shard_map`` on 1-D meshes (the
+    fused Pallas kernels stay alive per shard) or GSPMD otherwise (plain
+    XLA convs — the partitioner cannot split the opaque custom calls).
     """
     from contextlib import nullcontext
 
     os.makedirs(output_pred_path, exist_ok=True)
     pin = nullcontext()
     if mesh is not None:
-        from ..models.blocks import force_xla_conv_path
         from ..parallel.mesh import replicated
 
         params = jax.device_put(params, replicated(mesh))
-        if mesh.devices.size > 1:
+        if mesh.devices.size > 1 and not _infer_shard_map(mesh):
+            from ..models.blocks import force_xla_conv_path
+
             # the fused Pallas conv kernels are opaque to GSPMD — trace with
             # XLA convs so the tile-batch sharding constraint actually splits
             # work across the mesh instead of replicating it
             pin = force_xla_conv_path(
-                "note: mesh-sharded inference forces the XLA conv path; "
-                "PDA_PALLAS_CONV=1 is ignored here"
+                "note: GSPMD mesh-sharded inference forces the XLA conv "
+                "path; PDA_PALLAS_CONV=1 is ignored here"
             )
     key = jax.random.PRNGKey(seed)
     with pin:
@@ -192,7 +247,7 @@ def punet_prediction(
             key, sub = jax.random.split(key)
             pred = _tiled_punet_probs(
                 model, params, jnp.asarray(img), sub, prior_samples,
-                block_shape, halo, mesh,
+                block_shape, halo, mesh, shard_map=_infer_shard_map(mesh),
             )
             out = os.path.join(output_pred_path, f"{_stem(img_name)}.tif")
             _write_tiff(out, np.asarray(pred)[..., 0].astype(np.float32))
