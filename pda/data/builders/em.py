@@ -17,7 +17,7 @@ import numpy as np
 
 from ..datasets import DualSegmentationDataset, SegmentationDataset
 from ..loader import Loader
-from ..transforms import labels_to_binary
+from ..transforms import labels_to_binary, select_label_transform
 from .util import download_source, unzip
 
 VNC_URL = "https://github.com/unidesigner/groundtruth-drosophila-vnc/archive/refs/heads/master.zip"
@@ -98,6 +98,8 @@ def get_vnc_mito_loader(
     *,
     partition: str,
     binary: bool = False,
+    boundaries: bool = False,
+    offsets=None,
     download: bool = False,
     batch_size: int = 1,
     augmentation1=None,
@@ -122,7 +124,7 @@ def get_vnc_mito_loader(
         raw_key="raw",
         label_key="labels/mitochondria",
         patch_shape=patch2d,
-        label_transform=labels_to_binary if binary else None,
+        label_transform=select_label_transform(offsets, boundaries, binary),
         augmentation1=augmentation1,
         augmentation2=augmentation2,
         sampler=sampler if label_path is not None else None,
@@ -278,6 +280,8 @@ def get_mitoem_loader(
     *,
     samples: Sequence[str] = ("human", "rat"),
     binary: bool = False,
+    boundaries: bool = False,
+    offsets=None,
     download: bool = False,
     sampler=None,
     n_samples: Optional[int] = None,
@@ -317,7 +321,7 @@ def get_mitoem_loader(
             raw_key="raw",
             label_key="labels",
             patch_shape=tuple(patch_shape[-2:]),
-            label_transform=labels_to_binary if binary else None,
+            label_transform=select_label_transform(offsets, boundaries, binary),
             sampler=sampler,
             n_samples=None if n_samples is None else n_samples // len(volume_paths),
         )
@@ -340,6 +344,8 @@ def default_dual_segmentation_dataset(
     patch_shape,
     *,
     binary: bool = False,
+    boundaries: bool = False,
+    offsets=None,
     augmentation1=None,
     augmentation2=None,
     sampler=None,
@@ -361,7 +367,7 @@ def default_dual_segmentation_dataset(
             label_key=label_key,
             patch_shape=tuple(patch_shape[-2:]),
             roi=roi,
-            label_transform=labels_to_binary if binary else None,
+            label_transform=select_label_transform(offsets, boundaries, binary),
             augmentation1=augmentation1,
             augmentation2=augmentation2,
             sampler=sampler,

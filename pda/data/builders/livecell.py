@@ -27,7 +27,7 @@ import numpy as np
 
 from ..datasets import DualImageCollectionDataset, ImageCollectionDataset
 from ..loader import Loader
-from ..transforms import labels_to_binary
+from ..transforms import select_label_transform
 from .coco import COCOIndex, rasterize_annotations
 from .util import download_source, unzip
 
@@ -148,6 +148,8 @@ def get_livecell_loader(
     *,
     cell_types: Optional[Sequence[str]] = None,
     binary: bool = False,
+    boundaries: bool = False,
+    offsets=None,
     download: bool = False,
     n_samples: Optional[int] = None,
     sampler=None,
@@ -163,7 +165,7 @@ def get_livecell_loader(
         image_paths,
         seg_paths,
         patch_shape=patch_shape,
-        label_transform=labels_to_binary if binary else None,
+        label_transform=select_label_transform(offsets, boundaries, binary),
         n_samples=n_samples,
         sampler=sampler,
     )
@@ -178,6 +180,8 @@ def get_my_livecell_loader(
     label_path: str,
     cell_types: Optional[Sequence[str]] = None,
     binary: bool = False,
+    boundaries: bool = False,
+    offsets=None,
     download: bool = False,
     batch_size: int = 1,
     n_samples: Optional[int] = None,
@@ -207,7 +211,7 @@ def get_my_livecell_loader(
         seg_paths,
         consensus_paths,
         patch_shape=patch_shape,
-        label_transform=labels_to_binary if binary else None,
+        label_transform=select_label_transform(offsets, boundaries, binary),
         n_samples=n_samples,
     )
     return Loader(ds, batch_size, num_workers=num_workers, **loader_kwargs)
@@ -220,6 +224,8 @@ def get_dual_livecell_loader(
     *,
     cell_types: Optional[Sequence[str]] = None,
     binary: bool = False,
+    boundaries: bool = False,
+    offsets=None,
     download: bool = False,
     batch_size: int = 1,
     augmentation1=None,
@@ -237,7 +243,7 @@ def get_dual_livecell_loader(
         image_paths,
         seg_paths,
         patch_shape=patch_shape,
-        label_transform=labels_to_binary if binary else None,
+        label_transform=select_label_transform(offsets, boundaries, binary),
         augmentation1=augmentation1,
         augmentation2=augmentation2,
         n_samples=n_samples,

@@ -379,3 +379,81 @@ def affinity_transform(labels: np.ndarray, offsets=((0, 1), (1, 0))) -> np.ndarr
         aff[max(0, -dy) : h - max(0, dy), max(0, -dx) : w - max(0, dx)] = same
         chans.append(aff)
     return np.stack(chans, axis=-1)
+
+
+def _affinity_mask(shape, offsets) -> np.ndarray:
+    """Validity mask per affinity channel: 1 where both endpoints of the
+    offset edge are in bounds (torch_em AffinityTransform ``add_mask``)."""
+    h, w = shape[:2]
+    chans = []
+    for dy, dx in offsets:
+        m = np.zeros((h, w), dtype=np.float32)
+        m[max(0, -dy) : h - max(0, dy), max(0, -dx) : w - max(0, dx)] = 1.0
+        chans.append(m)
+    return np.stack(chans, axis=-1)
+
+
+class BoundaryTransform:
+    """Callable label transform: instance labels -> boundary map, optionally
+    with the binary foreground map prepended as an extra channel —
+    torch_em ``BoundaryTransform(add_binary_target=True)`` as selected by the
+    reference loader factories (my_livecell.py:196-199). Channel-last."""
+
+    def __init__(self, add_binary_target: bool = False):
+        self.add_binary_target = add_binary_target
+
+    def __call__(self, labels: np.ndarray) -> np.ndarray:
+        b = boundary_transform(labels)[..., None]
+        if not self.add_binary_target:
+            return b
+        fg = labels_to_binary(labels)[..., None]
+        return np.concatenate([fg, b], axis=-1)
+
+
+class AffinityTransform:
+    """Callable label transform: instance labels -> affinity channels,
+    optionally prepending the binary foreground map (``add_binary_target``)
+    and appending per-offset validity-mask channels (``add_mask``) —
+    torch_em ``AffinityTransform(offsets, add_binary_target=True,
+    add_mask=True)`` as selected by the reference loader factories
+    (my_livecell.py:189-195). Channel-last:
+    [binary? | affinities | masks?]. With ``add_mask`` the binary channel's
+    mask (all ones) is included so the mask block is one-to-one with the
+    target block, matching torch_em's convention."""
+
+    def __init__(self, offsets, add_binary_target: bool = False,
+                 add_mask: bool = False):
+        self.offsets = tuple(tuple(o) for o in offsets)
+        self.add_binary_target = add_binary_target
+        self.add_mask = add_mask
+
+    def __call__(self, labels: np.ndarray) -> np.ndarray:
+        labels = np.asarray(labels)
+        affs = affinity_transform(labels, self.offsets)
+        parts = [affs]
+        if self.add_binary_target:
+            parts.insert(0, labels_to_binary(labels)[..., None])
+        if self.add_mask:
+            mask = _affinity_mask(labels.shape, self.offsets)
+            if self.add_binary_target:
+                ones = np.ones(labels.shape[:2] + (1,), dtype=np.float32)
+                mask = np.concatenate([ones, mask], axis=-1)
+            parts.append(mask)
+        return np.concatenate(parts, axis=-1)
+
+
+def select_label_transform(offsets=None, boundaries: bool = False,
+                           binary: bool = False):
+    """The reference loader factories' label-transform selector
+    (my_livecell.py:187-205): at most one of ``offsets``/``boundaries``/
+    ``binary``; returns the matching callable or None."""
+    assert sum((offsets is not None, bool(boundaries), bool(binary))) <= 1, (
+        "pass at most one of offsets= / boundaries= / binary="
+    )
+    if offsets is not None:
+        return AffinityTransform(offsets, add_binary_target=True, add_mask=True)
+    if boundaries:
+        return BoundaryTransform(add_binary_target=True)
+    if binary:
+        return labels_to_binary
+    return None

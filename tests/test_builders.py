@@ -356,3 +356,123 @@ class TestPseudoTreeStrictness:
         )
         x, y, z = next(iter(loader))
         assert x.shape == (1, 16, 16, 1) and z.shape == (1, 16, 16, 1)
+
+
+class TestLabelTransformPlumbing:
+    """offsets=/boundaries= selection through the loader factories
+    (reference my_livecell.py:187-205: AffinityTransform(offsets,
+    add_binary_target=True, add_mask=True) / BoundaryTransform(
+    add_binary_target=True) / labels_to_binary, mutually exclusive)."""
+
+    def _livecell_tree(self, tmp_path):
+        import json
+
+        import imageio.v3 as iio
+
+        root = tmp_path / "livecell"
+        img_dir = root / "images" / "livecell_train_val_images" / "A172"
+        img_dir.mkdir(parents=True)
+        iio.imwrite(img_dir / "A172_img.tif", np.zeros((32, 40), np.uint8))
+        data = {
+            "images": [
+                {"id": 1, "file_name": "A172_img.tif", "height": 32, "width": 40}
+            ],
+            "categories": [{"id": 1, "name": "cell"}],
+            "annotations": [{
+                "id": 1, "image_id": 1, "category_id": 1,
+                "segmentation": [[5, 5, 15, 5, 15, 15, 5, 15]],
+            }],
+        }
+        (root / "train.json").write_text(json.dumps(data))
+        return root
+
+    def test_boundaries_kwarg_yields_binary_plus_boundary(self, tmp_path):
+        from pda.data.builders.livecell import get_livecell_loader
+
+        loader = get_livecell_loader(
+            str(self._livecell_tree(tmp_path)), "train", (16, 16), 1,
+            cell_types=["A172"], boundaries=True, num_workers=0,
+        )
+        x, y = next(iter(loader))
+        assert y.shape == (1, 16, 16, 2), y.shape
+        # channel 0 = binary foreground, channel 1 = boundary map
+        assert set(np.unique(y)) <= {0.0, 1.0}
+
+    def test_offsets_kwarg_yields_binary_affinities_masks(self, tmp_path):
+        from pda.data.builders.livecell import get_livecell_loader
+
+        offsets = [(0, 1), (1, 0)]
+        loader = get_livecell_loader(
+            str(self._livecell_tree(tmp_path)), "train", (16, 16), 1,
+            cell_types=["A172"], offsets=offsets, num_workers=0,
+        )
+        x, y = next(iter(loader))
+        # [binary | aff x2 | mask x3 (ones for binary + per-offset validity)]
+        assert y.shape == (1, 16, 16, 6), y.shape
+
+    def test_mutually_exclusive(self, tmp_path):
+        from pda.data.builders.livecell import get_livecell_loader
+
+        with pytest.raises(AssertionError, match="at most one"):
+            get_livecell_loader(
+                str(self._livecell_tree(tmp_path)), "train", (16, 16), 1,
+                cell_types=["A172"], binary=True, boundaries=True,
+                num_workers=0,
+            )
+
+    def test_vnc_loader_accepts_boundaries(self, tmp_path):
+        import h5py
+
+        from pda.data.builders.em import get_vnc_mito_loader
+
+        rng = np.random.default_rng(0)
+        lab = np.zeros((4, 32, 32), np.uint16)
+        lab[:, 8:16, 8:16] = 1
+        for name in ("vnc_train.h5", "vnc_test.h5"):
+            with h5py.File(tmp_path / name, "w") as f:
+                f.create_dataset(
+                    "raw", data=rng.random((4, 32, 32)).astype(np.float32)
+                )
+                f.create_dataset("labels/mitochondria", data=lab)
+        loader = get_vnc_mito_loader(
+            str(tmp_path), (16, 16), partition="ts", boundaries=True,
+            num_workers=0,
+        )
+        batch = next(iter(loader))
+        y = batch[-1]
+        assert y.shape[-1] == 2, y.shape
+
+
+class TestLabelTransformUnits:
+    def test_boundary_transform_marks_instance_borders(self):
+        from pda.data.transforms import BoundaryTransform
+
+        lab = np.zeros((8, 8), np.uint16)
+        lab[2:5, 2:5] = 1
+        out = BoundaryTransform(add_binary_target=True)(lab)
+        assert out.shape == (8, 8, 2)
+        # interior pixel of the square: foreground, not boundary
+        assert out[3, 3, 0] == 1.0 and out[3, 3, 1] == 0.0
+        # edge pixel of the square: foreground AND boundary
+        assert out[2, 2, 0] == 1.0 and out[2, 2, 1] == 1.0
+        # far-away background: neither
+        assert out[7, 7, 0] == 0.0 and out[7, 7, 1] == 0.0
+
+    def test_affinity_mask_marks_in_bounds_edges(self):
+        from pda.data.transforms import AffinityTransform
+
+        lab = np.zeros((6, 6), np.uint16)
+        lab[1:4, 1:4] = 1
+        out = AffinityTransform([(0, 1), (1, 0)], add_binary_target=True,
+                                add_mask=True)(lab)
+        # [binary | aff(0,1) | aff(1,0) | mask_binary | mask(0,1) | mask(1,0)]
+        assert out.shape == (6, 6, 6)
+        assert np.all(out[..., 3] == 1.0)  # binary channel's mask: all ones
+        # mask for (0,1): last column's edge leaves the image -> 0
+        assert out[0, 5, 4] == 0.0 and out[0, 4, 4] == 1.0
+        # mask for (1,0): last row's edge leaves the image -> 0
+        assert out[5, 0, 5] == 0.0 and out[4, 0, 5] == 1.0
+        # two adjacent same-instance pixels -> affinity 1
+        assert out[1, 1, 1] == 1.0  # (1,1)-(1,2) same instance
+        # instance/background edge -> affinity 0
+        assert out[1, 3, 1] == 0.0  # (1,3)-(1,4) crosses the border
