@@ -110,7 +110,7 @@ def _punet_loss(
 #: agreed (18.9 patches/s with the packed kernel vs 19.8 without). The
 #: sample loop's dependent relu->matmul->relu chain can't keep the MXU fed,
 #: while XLA's batched formulation runs the mid conv as one huge matmul.
-#: Env override PDA_PALLAS_MC=0/1 (``None`` = auto: on for TPU).
+#: Env override PDA_PALLAS_MC=0/1.
 USE_PALLAS_MC = False
 
 
@@ -120,8 +120,6 @@ def _pallas_mc_enabled(model) -> bool:
     flag = os.environ.get("PDA_PALLAS_MC", "")
     if flag in ("0", "1"):
         return flag == "1" and model.num_classes == 1
-    if USE_PALLAS_MC is None:
-        return jax.default_backend() in ("tpu", "axon") and model.num_classes == 1
     return bool(USE_PALLAS_MC) and model.num_classes == 1
 
 
