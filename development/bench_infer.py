@@ -80,6 +80,24 @@ def main():
         flush=True,
     )
 
+    # Mesh path (shard_map): on the single available chip this runs the
+    # SAME manual-SPMD program structure multi-chip inference uses (tile
+    # batch partitioned over the mesh axis, fused Pallas kernels alive per
+    # shard, global-batch latent noise slices) with a 1-device mesh — the
+    # number pins the shard_map wrapper's overhead vs the plain path.
+    from pda.parallel.mesh import get_mesh, replicated
+
+    mesh = get_mesh(len(jax.devices()))
+    params_m = jax.device_put(params, replicated(mesh))
+    dt = timed(lambda: _tiled_punet_probs(
+        model, params_m, img, key, 16, block, halo, mesh, shard_map=True))
+    print(
+        f"tiled prediction, shard_map mesh({mesh.devices.size}): "
+        f"{dt * 1e3:8.2f} ms/frame "
+        f"({n_tiles / dt:6.1f} tiles/s, {1 / dt:5.2f} frames/s)",
+        flush=True,
+    )
+
 
 if __name__ == "__main__":
     main()

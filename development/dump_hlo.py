@@ -24,6 +24,10 @@ import jax.numpy as jnp
 def main():
     import bench
 
+    # a persistent-cache hit skips compilation entirely and nothing gets
+    # dumped — force a real compile for this process
+    jax.config.update("jax_compilation_cache_dir", None)
+
     model, tx, state, step = bench.build()
     key = jax.random.PRNGKey(1)
     batch = tuple(
