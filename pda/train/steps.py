@@ -53,10 +53,17 @@ N_MC_VAL = 8  # reference: punet_trainer.py:70
 
 
 def _punet_loss(
-    model: ProbabilisticUnet, params, x, segm, key, consm=None, axis_name=None
+    model: ProbabilisticUnet, params, x, segm, key, consm=None, axis_name=None,
+    reconstruct_posterior_mean: bool = False,
 ):
     """-elbo + 1e-5 * l2_reg — the loss every PUNet trainer assembles
     (reference punet_trainer.py:29-34).
+
+    ``reconstruct_posterior_mean`` decodes the posterior MEAN instead of the
+    draw for the reconstruction term, while the MC-KL option still evaluates
+    at the draw — exactly the reference's ``elbo(...,
+    reconstruct_posterior_mean=True)`` (probabilistic_unet.py:341,352-358;
+    unused by every reference experiment script, kept for protocol parity).
 
     Returns ``(objective, aux)`` where ``aux["loss"]`` is the TRUE loss value.
     With ``axis_name`` (inside shard_map over batch shards) the in-loss psums
@@ -71,13 +78,14 @@ def _punet_loss(
         {"params": params}, x, segm, flat_features=True, method="encode"
     )
     z_post = enc.posterior.sample(key, axis_name=axis_name)
+    z_rec = enc.posterior.mu if reconstruct_posterior_mean else z_post
     if enc.feat_geom is not None:
         recon = fcomb_decode_flat(
-            model, params["fcomb"], enc.features, enc.feat_geom, z_post
+            model, params["fcomb"], enc.features, enc.feat_geom, z_rec
         )
     else:
         recon = model.apply(
-            {"params": params}, enc.features, z_post, method="decode"
+            {"params": params}, enc.features, z_rec, method="decode"
         )
     nelbo, aux = neg_elbo(
         recon,

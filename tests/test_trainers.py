@@ -464,3 +464,45 @@ class TestEmptyLoaderGuard:
         )
         with pytest.raises(RuntimeError, match="zero batches"):
             tr.fit(2)
+
+
+class TestReconstructPosteriorMean:
+    def test_posterior_mean_reconstruction_option(self):
+        """reference elbo(reconstruct_posterior_mean=True): the recon term
+        decodes the posterior MEAN while KL still uses the draw
+        (probabilistic_unet.py:341,352-358)."""
+        import jax
+        import jax.numpy as jnp
+
+        from pda.core import neg_elbo
+        from pda.models import ProbabilisticUnet
+        from pda.train.steps import _punet_loss
+
+        model = ProbabilisticUnet(
+            num_filters=(4, 8, 12, 16), no_convs_fcomb=3, beta=1.0,
+            rl_swap=True,
+        )
+        x0 = jnp.zeros((1, 32, 32, 1))
+        params = model.init(jax.random.PRNGKey(0), x0, x0)["params"]
+        rng = jax.random.PRNGKey(3)
+        x = jax.random.normal(rng, (2, 32, 32, 1))
+        y = (jax.random.uniform(jax.random.PRNGKey(4), (2, 32, 32, 1)) > 0.5
+             ).astype(jnp.float32)
+
+        key = jax.random.PRNGKey(7)
+        _, aux_mean = _punet_loss(model, params, x, y, key,
+                                  reconstruct_posterior_mean=True)
+        _, aux_draw = _punet_loss(model, params, x, y, key)
+
+        # hand-build the expected mean-reconstruction value
+        enc = model.apply({"params": params}, x, y, method="encode")
+        recon_mu = model.apply(
+            {"params": params}, enc.features, enc.posterior.mu, method="decode"
+        )
+        _, exp_aux = neg_elbo(recon_mu, y, enc.posterior, enc.prior,
+                              beta=1.0, rl_swap=True)
+        assert abs(float(aux_mean["recon_loss"]) - float(exp_aux["recon_loss"])
+                   ) < 1e-4
+        # and it differs from the draw-based reconstruction
+        assert abs(float(aux_mean["recon_loss"]) - float(aux_draw["recon_loss"])
+                   ) > 1e-6
