@@ -20,7 +20,16 @@ from .engine import (
     Trainer,
     UNetTrainer,
 )
-from .logging import TrainLogger, make_grid
+from .logging import (
+    AdaMatchLogger,
+    AdaMTLogger,
+    FixMatchLogger,
+    MeanTeacherLogger,
+    PseudoLogger,
+    PUNetLogger,
+    TrainLogger,
+    make_grid,
+)
 from .optim import ReduceLROnPlateau, adam
 from .profiling import Throughput, trace
 from .state import TrainState, create_train_state, punet_l2_reg
@@ -41,6 +50,12 @@ __all__ = [
     "adam",
     "ReduceLROnPlateau",
     "TrainLogger",
+    "PUNetLogger",
+    "PseudoLogger",
+    "MeanTeacherLogger",
+    "FixMatchLogger",
+    "AdaMTLogger",
+    "AdaMatchLogger",
     "make_grid",
     "Throughput",
     "trace",

@@ -73,7 +73,7 @@ class Trainer:
         device: Any = None,  # accepted for API fidelity; JAX manages devices
         mesh=None,
         save_root: Optional[str] = None,
-        logger: bool = True,
+        logger: Any = True,
         log_image_interval: int = 100,
         mixed_precision: bool = False,
         seed: int = 0,
@@ -93,9 +93,18 @@ class Trainer:
         self.mesh = mesh
         self.save_root = save_root
         self.ckpt_dir = checkpoint_dir(name, save_root)
-        self.logger = (
-            TrainLogger(name, save_root, log_image_interval) if logger else None
-        )
+        # ``logger`` accepts True/False, a TrainLogger CLASS (the reference
+        # pattern: trainers take the logger class, e.g. logger=PUNetLogger —
+        # torch_em DefaultTrainer / prob_utils loggers), or an instance.
+        if isinstance(logger, type) and issubclass(logger, TrainLogger):
+            self.logger = logger(name, save_root, log_image_interval)
+        elif isinstance(logger, TrainLogger):
+            self.logger = logger
+        else:
+            self.logger = (
+                TrainLogger(name, save_root, log_image_interval)
+                if logger else None
+            )
         self.seed = seed
 
         self._iteration = 0

@@ -55,6 +55,11 @@ def make_grid(images, nrow: int = 4, padding: int = 4) -> np.ndarray:
 class TrainLogger:
     """Scalars + image panels for any trainer."""
 
+    #: panel list of the trainer this logger class is named after (the
+    #: reference-named subclasses below set it; the engine's trainers carry
+    #: their own ``image_tags`` and win when both are present)
+    image_tags: tuple = ()
+
     def __init__(
         self,
         name: str,
@@ -111,3 +116,53 @@ class TrainLogger:
     def close(self):
         if self.tb is not None:
             self.tb.close()
+
+
+# ---------------------------------------------------------------------------
+# Reference-named logger classes. The reference exposes one TensorBoard
+# logger class per trainer (prob_utils/my_trainer/__init__.py: PUNetLogger,
+# PseudoLogger, MeanTeacherLogger, FixMatchLogger, AdaMTLogger,
+# AdaMatchLogger) and trainers take the CLASS as a constructor argument
+# (torch_em pattern). Here all behavior lives in TrainLogger (the trainer
+# supplies its image panels via ``image_tags``); these subclasses carry the
+# reference names + panel lists so reference code passing
+# ``logger=PUNetLogger`` works unchanged.
+# ---------------------------------------------------------------------------
+
+
+class PUNetLogger(TrainLogger):
+    """Reference punet_trainer.py:100-125."""
+
+    image_tags = ("input", "target")
+
+
+class PseudoLogger(TrainLogger):
+    """Reference punet_target_trainer.py:70-89 (UNet and PUNet variants)."""
+
+    image_tags = ("input", "pseudo_labels", "consensus")
+
+
+class MeanTeacherLogger(TrainLogger):
+    """Reference mean_teacher_trainer.py:194-230."""
+
+    image_tags = ("input", "aug_inputs_1", "aug_inputs_2", "ground_truth")
+
+
+class FixMatchLogger(TrainLogger):
+    """Reference fixmatch_trainer.py:163-212."""
+
+    image_tags = ("input", "weak_aug", "strong_aug", "ground_truth")
+
+
+class AdaMTLogger(TrainLogger):
+    """Reference adamt_trainer.py:192-228."""
+
+    image_tags = ("source_input", "source_labels", "target_input",
+                  "pseudo_labels", "consensus")
+
+
+class AdaMatchLogger(TrainLogger):
+    """Reference adamatch_trainer.py:172-207."""
+
+    image_tags = ("source_input", "source_labels", "target_input",
+                  "pseudo_labels", "consensus")

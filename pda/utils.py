@@ -12,6 +12,10 @@ import os
 from .core.metrics import dice_score  # noqa: F401  (re-export)
 from .data.transforms import standardize as my_standardize  # noqa: F401
 
+#: exact reference name (prob_utils/my_utils/util.py:9-14) — numpy arrays
+#: here, not torch tensors; same (x - mean) / (std + eps) semantics
+my_standardize_torch = my_standardize
+
 
 class DummyLoss:
     """Placeholder loss object (reference prob_utils/my_utils/util.py:5-6).

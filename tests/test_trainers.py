@@ -506,3 +506,38 @@ class TestReconstructPosteriorMean:
         # and it differs from the draw-based reconstruction
         assert abs(float(aux_mean["recon_loss"]) - float(aux_draw["recon_loss"])
                    ) > 1e-6
+
+
+class TestReferenceLoggerNames:
+    def test_logger_class_argument(self, tmp_path):
+        """The reference passes a LOGGER CLASS to the trainer constructor
+        (prob_utils/my_trainer/__init__.py names; torch_em pattern). Passing
+        one must construct it and write its log dir."""
+        import os
+
+        import jax
+        import jax.numpy as jnp
+
+        from pda.data import ImageCollectionDataset, Loader
+        from pda.data.synthetic import make_dataset_arrays
+        from pda.models import ProbabilisticUnet
+        from pda.train import (
+            AdaMatchLogger, AdaMTLogger, FixMatchLogger, MeanTeacherLogger,
+            PseudoLogger, PUNetLogger, PUNetTrainer, TrainLogger,
+        )
+
+        for cls in (PUNetLogger, PseudoLogger, MeanTeacherLogger,
+                    FixMatchLogger, AdaMTLogger, AdaMatchLogger):
+            assert issubclass(cls, TrainLogger)
+            assert cls.image_tags
+
+        raws, labels = make_dataset_arrays(4, (32, 32))
+        ds = ImageCollectionDataset(raws, labels, patch_shape=(32, 32))
+        model = ProbabilisticUnet(num_filters=(2, 4, 6, 8), no_convs_fcomb=3)
+        t = PUNetTrainer(
+            "logcls", model, Loader(ds, 2, seed=0), Loader(ds, 2, seed=1),
+            learning_rate=1e-3, save_root=str(tmp_path), logger=PUNetLogger,
+        )
+        assert isinstance(t.logger, PUNetLogger)
+        t.fit(2)
+        assert os.path.isdir(tmp_path / "logs" / "logcls")
