@@ -40,12 +40,14 @@ import os
 import time
 
 T0_WALL = time.time()
-# Absolute deadline survives the retry re-exec.
+# Absolute deadline; survives the retry re-exec via PDA_BENCH_DEADLINE,
+# which is exported only right before the re-exec (__main__ below) so merely
+# IMPORTING this module (development/dump_hlo.py etc.) never leaks a stale
+# deadline into the environment of unrelated child processes.
 _DEADLINE = float(
     os.environ.get("PDA_BENCH_DEADLINE")
     or T0_WALL + float(os.environ.get("PDA_BENCH_BUDGET_S", 420))
 )
-os.environ["PDA_BENCH_DEADLINE"] = repr(_DEADLINE)
 
 
 def remaining() -> float:
@@ -254,9 +256,15 @@ def main():
             t_naive, _ = timed(run_naive, state2, batch, max(ITERS // 4, 5))
             vs_baseline = t_naive / t_fused
         except Exception:
-            # never lose the fused number to a baseline failure
+            # never lose the fused number to a baseline failure — but make
+            # the failure VISIBLE (stderr + a distinct source tag) so a
+            # permanently broken baseline can't masquerade as a benign
+            # budget skip republishing the recorded ratio forever
+            import traceback
+
+            traceback.print_exc()
             vs_baseline = RECORDED_VS_BASELINE
-            source = "recorded"
+            source = "recorded-after-error"
         finally:
             os.environ.pop("PDA_PALLAS_CONV", None)
 
@@ -294,4 +302,5 @@ if __name__ == "__main__":
         print("bench.py: transient failure, retrying in a fresh process",
               file=sys.stderr)
         os.environ["PDA_BENCH_RETRIED"] = "1"
+        os.environ["PDA_BENCH_DEADLINE"] = repr(_DEADLINE)
         os.execv(sys.executable, [sys.executable, os.path.abspath(__file__)])

@@ -118,13 +118,14 @@ def get_vnc_mito_loader(
     data_path = os.path.join(path, f"vnc_{split}.h5")
     patch2d = tuple(patch_shape[-2:])
     label_path = data_path if split == "train" else None
+    _lt, _lt2 = select_label_transform(offsets, boundaries, binary)
     ds = DualSegmentationDataset(
         data_path,
         label_path,
         raw_key="raw",
         label_key="labels/mitochondria",
         patch_shape=patch2d,
-        label_transform=select_label_transform(offsets, boundaries, binary),
+        label_transform=_lt, label_transform2=_lt2,
         augmentation1=augmentation1,
         augmentation2=augmentation2,
         sampler=sampler if label_path is not None else None,
@@ -314,6 +315,7 @@ def get_mitoem_loader(
 
     from ..datasets import ConcatDataset
 
+    _lt, _lt2 = select_label_transform(offsets, boundaries, binary)
     datasets = [
         SegmentationDataset(
             p,
@@ -321,7 +323,7 @@ def get_mitoem_loader(
             raw_key="raw",
             label_key="labels",
             patch_shape=tuple(patch_shape[-2:]),
-            label_transform=select_label_transform(offsets, boundaries, binary),
+            label_transform=_lt, label_transform2=_lt2,
             sampler=sampler,
             n_samples=None if n_samples is None else n_samples // len(volume_paths),
         )
@@ -359,6 +361,7 @@ def default_dual_segmentation_dataset(
     if isinstance(raw_paths, (str,)) or hasattr(raw_paths, "shape"):
         raw_paths, label_paths = [raw_paths], [label_paths]
     rois = rois if rois is not None else [None] * len(raw_paths)
+    _lt, _lt2 = select_label_transform(offsets, boundaries, binary)
     datasets = [
         DualSegmentationDataset(
             rp,
@@ -367,7 +370,7 @@ def default_dual_segmentation_dataset(
             label_key=label_key,
             patch_shape=tuple(patch_shape[-2:]),
             roi=roi,
-            label_transform=select_label_transform(offsets, boundaries, binary),
+            label_transform=_lt, label_transform2=_lt2,
             augmentation1=augmentation1,
             augmentation2=augmentation2,
             sampler=sampler,

@@ -161,11 +161,12 @@ def get_livecell_loader(
     assert split in ("train", "val", "test")
     _download_images(path, download)
     image_paths, seg_paths = _image_and_label_paths(path, split, download, cell_types)
+    _lt, _lt2 = select_label_transform(offsets, boundaries, binary)
     ds = ImageCollectionDataset(
         image_paths,
         seg_paths,
         patch_shape=patch_shape,
-        label_transform=select_label_transform(offsets, boundaries, binary),
+        label_transform=_lt, label_transform2=_lt2,
         n_samples=n_samples,
         sampler=sampler,
     )
@@ -206,12 +207,13 @@ def get_my_livecell_loader(
         )
         for p in seg_paths
     ]
+    _lt, _lt2 = select_label_transform(offsets, boundaries, binary)
     ds = ImageCollectionDataset(
         image_paths,
         seg_paths,
         consensus_paths,
         patch_shape=patch_shape,
-        label_transform=select_label_transform(offsets, boundaries, binary),
+        label_transform=_lt, label_transform2=_lt2,
         n_samples=n_samples,
     )
     return Loader(ds, batch_size, num_workers=num_workers, **loader_kwargs)
@@ -239,11 +241,12 @@ def get_dual_livecell_loader(
     assert split in ("train", "val", "test")
     _download_images(path, download)
     image_paths, seg_paths = _image_and_label_paths(path, split, download, cell_types)
+    _lt, _lt2 = select_label_transform(offsets, boundaries, binary)
     ds = DualImageCollectionDataset(
         image_paths,
         seg_paths,
         patch_shape=patch_shape,
-        label_transform=select_label_transform(offsets, boundaries, binary),
+        label_transform=_lt, label_transform2=_lt2,
         augmentation1=augmentation1,
         augmentation2=augmentation2,
         n_samples=n_samples,

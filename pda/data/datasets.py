@@ -179,6 +179,7 @@ class ImageCollectionDataset(_PatchDatasetBase):
         patch_shape: Tuple[int, int],
         raw_transform: Optional[Callable] = standardize,
         label_transform: Optional[Callable] = None,
+        label_transform2: Optional[Callable] = None,
         transform: Optional[Callable] = None,
         n_samples: Optional[int] = None,
         sampler: Optional[Callable] = None,
@@ -203,6 +204,7 @@ class ImageCollectionDataset(_PatchDatasetBase):
         self.consensus_masks = list(consensus_masks) if consensus_masks else None
         self.raw_transform = raw_transform
         self.label_transform = label_transform
+        self.label_transform2 = label_transform2
         self.transform = transform if transform is not None else get_augmentations(2)
 
     def sample(self, index: int, rng: np.random.Generator):
@@ -227,6 +229,15 @@ class ImageCollectionDataset(_PatchDatasetBase):
             raw, labels = out[0], out[1]
             consensus = out[2] if consensus is not None else None
 
+        # post-augmentation label transform (torch_em ``label_transform2``,
+        # reference my_image_collection_dataset.py:176-178) — direction-
+        # sensitive targets (affinities + masks) must see the AUGMENTED
+        # geometry, not the pre-flip/rotation one
+        if self.label_transform2 is not None:
+            labels = np.asarray(
+                self.label_transform2(np.squeeze(labels)), dtype=np.float32
+            )
+
         if self.raw_transform is not None:
             raw = self.raw_transform(raw)
 
@@ -250,6 +261,7 @@ class DualImageCollectionDataset(_PatchDatasetBase):
         patch_shape: Tuple[int, int],
         raw_transform: Optional[Callable] = standardize,
         label_transform: Optional[Callable] = None,
+        label_transform2: Optional[Callable] = None,
         augmentation1: Optional[Callable] = None,
         augmentation2: Optional[Callable] = None,
         transform: Optional[Callable] = None,
@@ -273,6 +285,7 @@ class DualImageCollectionDataset(_PatchDatasetBase):
         self.label_images = list(label_images)
         self.raw_transform = raw_transform
         self.label_transform = label_transform
+        self.label_transform2 = label_transform2
         self.augmentation1 = augmentation1
         self.augmentation2 = augmentation2
         self.transform = transform if transform is not None else get_augmentations(2)
@@ -292,6 +305,13 @@ class DualImageCollectionDataset(_PatchDatasetBase):
 
         if self.transform is not None:
             raw, labels = self.transform([raw, labels], rng)
+
+        # post-augmentation label transform (torch_em ``label_transform2``;
+        # see ImageCollectionDataset.sample)
+        if self.label_transform2 is not None:
+            labels = np.asarray(
+                self.label_transform2(np.squeeze(labels)), dtype=np.float32
+            )
 
         # No augmentations -> plain (x, y) tuple, exactly like the reference
         # (my_image_collection_dataset.py:369-372) — the lung supervised
@@ -504,6 +524,7 @@ class SegmentationDataset(_PatchDatasetBase):
         roi: Optional[slice] = None,
         raw_transform: Optional[Callable] = standardize,
         label_transform: Optional[Callable] = None,
+        label_transform2: Optional[Callable] = None,
         transform: Optional[Callable] = None,
         n_samples: Optional[int] = None,
         sampler: Optional[Callable] = None,
@@ -527,6 +548,7 @@ class SegmentationDataset(_PatchDatasetBase):
         )
         self.raw_transform = raw_transform
         self.label_transform = label_transform
+        self.label_transform2 = label_transform2
         self.transform = transform if transform is not None else get_augmentations(2)
 
     @classmethod
@@ -567,6 +589,12 @@ class SegmentationDataset(_PatchDatasetBase):
         labels = np.asarray(labels, dtype=np.float32)
         if self.transform is not None:
             raw, labels = self.transform([raw, labels], rng)
+        # post-augmentation label transform (torch_em ``label_transform2``;
+        # see ImageCollectionDataset.sample)
+        if self.label_transform2 is not None:
+            labels = np.asarray(
+                self.label_transform2(np.squeeze(labels)), dtype=np.float32
+            )
         if self.raw_transform is not None:
             raw = self.raw_transform(raw)
         return _ensure_hwc(raw), _ensure_hwc(labels)
@@ -593,6 +621,12 @@ class DualSegmentationDataset(SegmentationDataset):
         labels = np.asarray(labels, dtype=np.float32)
         if self.transform is not None:
             raw, labels = self.transform([raw, labels], rng)
+        # post-augmentation label transform (torch_em ``label_transform2``;
+        # see ImageCollectionDataset.sample)
+        if self.label_transform2 is not None:
+            labels = np.asarray(
+                self.label_transform2(np.squeeze(labels)), dtype=np.float32
+            )
 
         if self.augmentation1 is None and self.augmentation2 is None:
             if self.raw_transform is not None:

@@ -446,14 +446,24 @@ def select_label_transform(offsets=None, boundaries: bool = False,
                            binary: bool = False):
     """The reference loader factories' label-transform selector
     (my_livecell.py:187-205): at most one of ``offsets``/``boundaries``/
-    ``binary``; returns the matching callable or None."""
+    ``binary``.
+
+    Returns ``(label_transform, label_transform2)``: the reference wires
+    ``AffinityTransform`` as ``label_transform2`` — applied AFTER the joint
+    spatial augmentation (my_livecell.py:189-194,
+    my_image_collection_dataset.py:176-178) so flips/rotations cannot
+    mis-orient the direction-specific affinity channels and validity masks —
+    while boundaries/binary run BEFORE augmentation as ``label_transform``.
+    """
     assert sum((offsets is not None, bool(boundaries), bool(binary))) <= 1, (
         "pass at most one of offsets= / boundaries= / binary="
     )
     if offsets is not None:
-        return AffinityTransform(offsets, add_binary_target=True, add_mask=True)
+        return None, AffinityTransform(
+            offsets, add_binary_target=True, add_mask=True
+        )
     if boundaries:
-        return BoundaryTransform(add_binary_target=True)
+        return BoundaryTransform(add_binary_target=True), None
     if binary:
-        return labels_to_binary
-    return None
+        return labels_to_binary, None
+    return None, None

@@ -103,12 +103,25 @@ def _infer_shard_map(mesh) -> bool:
     )
 
 
+def _tiled_punet_probs(model, params, image, key, n_samples, block, halo,
+                       mesh=None, shard_map=None):
+    """Non-jitted entry: resolves the ``shard_map=None`` default from the
+    environment HERE, outside the trace, so the choice participates in the
+    jit cache key (an env read inside the traced body would be baked in by
+    the first call and silently ignored afterwards)."""
+    if shard_map is None:
+        shard_map = _infer_shard_map(mesh)
+    return _tiled_punet_probs_jit(
+        model, params, image, key, n_samples, block, halo, mesh, shard_map
+    )
+
+
 @partial(
     jax.jit,
     static_argnames=("model", "n_samples", "block", "halo", "mesh", "shard_map"),
 )
-def _tiled_punet_probs(model, params, image, key, n_samples, block, halo,
-                       mesh=None, shard_map=None):
+def _tiled_punet_probs_jit(model, params, image, key, n_samples, block, halo,
+                           mesh=None, shard_map=False):
     """Full-frame mean MC probability map via the on-device tile pipeline.
 
     Under a ``mesh`` the tile batch is padded to a multiple of the device
@@ -143,8 +156,6 @@ def _tiled_punet_probs(model, params, image, key, n_samples, block, halo,
     if mesh is not None:
         from jax.sharding import NamedSharding, PartitionSpec as P
 
-        if shard_map is None:  # direct callers; prefer passing it explicitly
-            shard_map = _infer_shard_map(mesh)
         pad = (-n_tiles) % mesh.devices.size
         if pad:
             tiles = jnp.concatenate(

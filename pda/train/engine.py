@@ -320,13 +320,16 @@ class Trainer:
                             scalars["learning_rate"] = lr
                         self.logger.log_train(step_idx, scalars)
                     pending = (self._iteration, metrics)
+                    # trainer tags (ordered like the batch tuple) win; a
+                    # tagless trainer uses the logger class's panel list
+                    tags = self.image_tags or self.logger.image_tags
                     if (
-                        self.image_tags
+                        tags
                         and self._iteration % self.logger.log_image_interval == 0
                     ):
                         images = {
                             tag: np.asarray(batch[i][0])
-                            for i, tag in enumerate(self.image_tags)
+                            for i, tag in enumerate(tags)
                             if i < len(batch)
                         }
                         self.logger.log_train(self._iteration, {}, images)

@@ -55,9 +55,10 @@ def make_grid(images, nrow: int = 4, padding: int = 4) -> np.ndarray:
 class TrainLogger:
     """Scalars + image panels for any trainer."""
 
-    #: panel list of the trainer this logger class is named after (the
-    #: reference-named subclasses below set it; the engine's trainers carry
-    #: their own ``image_tags`` and win when both are present)
+    #: panel list of the trainer this logger class is named after (set by
+    #: the reference-named subclasses below). The engine's trainers carry
+    #: their own ``image_tags`` matching their batch-tuple order and win
+    #: when set; a trainer without tags falls back to the logger's.
     image_tags: tuple = ()
 
     def __init__(
@@ -155,14 +156,17 @@ class FixMatchLogger(TrainLogger):
 
 
 class AdaMTLogger(TrainLogger):
-    """Reference adamt_trainer.py:192-228."""
+    """Reference adamt_trainer.py:192-228. Panel list matches the joint
+    trainers' batch tuple (engine.AdaMTTrainer.image_tags) — panels are
+    positional over the batch, so the lists must stay in lockstep."""
 
     image_tags = ("source_input", "source_labels", "target_input",
-                  "pseudo_labels", "consensus")
+                  "weak_aug", "strong_aug", "target_ground_truth")
 
 
 class AdaMatchLogger(TrainLogger):
-    """Reference adamatch_trainer.py:172-207."""
+    """Reference adamatch_trainer.py:172-207 (same panel note as
+    AdaMTLogger)."""
 
     image_tags = ("source_input", "source_labels", "target_input",
-                  "pseudo_labels", "consensus")
+                  "weak_aug", "strong_aug", "target_ground_truth")

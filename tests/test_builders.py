@@ -476,3 +476,35 @@ class TestLabelTransformUnits:
         assert out[1, 1, 1] == 1.0  # (1,1)-(1,2) same instance
         # instance/background edge -> affinity 0
         assert out[1, 3, 1] == 0.0  # (1,3)-(1,4) crosses the border
+
+
+class TestLabelTransform2Ordering:
+    def test_affinities_computed_after_augmentation(self):
+        """The reference wires AffinityTransform as torch_em's
+        ``label_transform2`` — applied AFTER the joint spatial augmentation
+        (my_livecell.py:189-194, my_image_collection_dataset.py:176-178) —
+        so flips/rotations cannot mis-orient the direction-specific
+        channels. Pin: with a transposing augmentation, the dataset's
+        affinities equal AffinityTransform(transposed_label), not
+        transpose(AffinityTransform(label))."""
+        from pda.data import AffinityTransform, ImageCollectionDataset
+
+        rng = np.random.default_rng(0)
+        raw = rng.random((16, 16)).astype(np.float32)
+        lab = np.zeros((16, 16), np.uint16)
+        lab[2:5, 8:16] = 1  # wide horizontal bar: x/y affinities differ
+
+        def transpose_aug(arrays, rng):
+            return [np.swapaxes(a, 0, 1) for a in arrays]
+
+        at = AffinityTransform([(0, 1), (1, 0)], add_binary_target=True,
+                               add_mask=True)
+        ds = ImageCollectionDataset(
+            [raw], [lab], patch_shape=(16, 16),
+            label_transform2=at, transform=transpose_aug,
+        )
+        _, y = ds.sample(0, np.random.default_rng(1))
+        expected = at(lab.T)
+        np.testing.assert_array_equal(y, expected)
+        # and the wrong (pre-augmentation) ordering really is different
+        assert not np.array_equal(y, np.swapaxes(at(lab), 0, 1))

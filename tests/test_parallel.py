@@ -251,7 +251,7 @@ class TestShardedInference:
         unconstrained batch, GSPMD replicates the whole batch and every
         device redundantly computes all tiles. Pin the constraint in the
         lowered program (predict.py)."""
-        from pda.infer.predict import _tiled_punet_probs
+        from pda.infer.predict import _tiled_punet_probs_jit
         from pda.parallel.mesh import replicated
 
         mesh = get_mesh(8)
@@ -261,7 +261,7 @@ class TestShardedInference:
             model.init(jax.random.PRNGKey(0), x0, x0)["params"], replicated(mesh)
         )
         img = jnp.zeros((128, 128, 1))
-        lowered = _tiled_punet_probs.lower(
+        lowered = _tiled_punet_probs_jit.lower(
             model, params, img, jax.random.PRNGKey(1), 2, (32, 32), (8, 8),
             mesh, shard_map=False,
         )
@@ -270,7 +270,7 @@ class TestShardedInference:
         # "Sharding" custom call
         assert "sharding_constraint" in txt or "Sharding" in txt
         # and the sharded run still executes
-        out = _tiled_punet_probs(
+        out = _tiled_punet_probs_jit(
             model, params, img, jax.random.PRNGKey(1), 2, (32, 32), (8, 8),
             mesh, shard_map=False,
         )
@@ -281,7 +281,7 @@ class TestShardedInference:
         runs inside ``jax.shard_map`` by default (manual SPMD — per-device
         tile partition with the fused Pallas kernels alive per shard), not
         through the GSPMD partitioner that pins them off."""
-        from pda.infer.predict import _infer_shard_map, _tiled_punet_probs
+        from pda.infer.predict import _infer_shard_map, _tiled_punet_probs_jit
         from pda.parallel.mesh import get_mesh_2d, replicated
 
         mesh = get_mesh(8)
@@ -295,7 +295,7 @@ class TestShardedInference:
             model.init(jax.random.PRNGKey(0), x0, x0)["params"], replicated(mesh)
         )
         img = jnp.zeros((128, 128, 1))
-        lowered = _tiled_punet_probs.lower(
+        lowered = _tiled_punet_probs_jit.lower(
             model, params, img, jax.random.PRNGKey(1), 2, (32, 32), (8, 8),
             mesh, shard_map=True,
         )
@@ -307,7 +307,7 @@ class TestShardedInference:
     def test_shard_map_inference_with_padded_tile_batch(self):
         """Tile counts that don't divide the mesh get zero-padded; the
         padded shard_map run still produces a full-frame probability map."""
-        from pda.infer.predict import _tiled_punet_probs
+        from pda.infer.predict import _tiled_punet_probs_jit
         from pda.parallel.mesh import replicated
 
         mesh = get_mesh(8)
@@ -319,7 +319,7 @@ class TestShardedInference:
         rng = np.random.default_rng(3)
         # 96x128 with 32-blocks -> 3x4 = 12 tiles -> padded to 16
         img = jnp.asarray(rng.normal(size=(96, 128, 1)).astype(np.float32))
-        out = _tiled_punet_probs(
+        out = _tiled_punet_probs_jit(
             model, params, img, jax.random.PRNGKey(1), 2, (32, 32), (8, 8),
             mesh, shard_map=True,
         )
