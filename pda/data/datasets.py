@@ -38,6 +38,23 @@ ArrayOrPath = Union[str, np.ndarray]
 
 MAX_SAMPLING_ATTEMPTS = 500  # reference my_image_collection_dataset.py:14
 
+class _LabelTransform2Mixin:
+    """Shared post-augmentation label transform (torch_em
+    ``label_transform2``, reference my_image_collection_dataset.py:176-178):
+    direction-sensitive targets (affinities + validity masks) must see the
+    AUGMENTED geometry, not the pre-flip/rotation one. Datasets set
+    ``self.label_transform2`` (or None) in their constructors."""
+
+    label_transform2 = None
+
+    def _apply_label_transform2(self, labels):
+        if self.label_transform2 is None:
+            return labels
+        return np.asarray(
+            self.label_transform2(np.squeeze(labels)), dtype=np.float32
+        )
+
+
 
 def load_image(path_or_array: ArrayOrPath) -> np.ndarray:
     if isinstance(path_or_array, np.ndarray):
@@ -73,7 +90,7 @@ class MinForegroundSampler:
         return fg > self.min_fraction
 
 
-class _PatchDatasetBase:
+class _PatchDatasetBase(_LabelTransform2Mixin):
     """Random-crop machinery shared by all patch datasets."""
 
     def __init__(
@@ -229,14 +246,7 @@ class ImageCollectionDataset(_PatchDatasetBase):
             raw, labels = out[0], out[1]
             consensus = out[2] if consensus is not None else None
 
-        # post-augmentation label transform (torch_em ``label_transform2``,
-        # reference my_image_collection_dataset.py:176-178) — direction-
-        # sensitive targets (affinities + masks) must see the AUGMENTED
-        # geometry, not the pre-flip/rotation one
-        if self.label_transform2 is not None:
-            labels = np.asarray(
-                self.label_transform2(np.squeeze(labels)), dtype=np.float32
-            )
+        labels = self._apply_label_transform2(labels)
 
         if self.raw_transform is not None:
             raw = self.raw_transform(raw)
@@ -306,12 +316,7 @@ class DualImageCollectionDataset(_PatchDatasetBase):
         if self.transform is not None:
             raw, labels = self.transform([raw, labels], rng)
 
-        # post-augmentation label transform (torch_em ``label_transform2``;
-        # see ImageCollectionDataset.sample)
-        if self.label_transform2 is not None:
-            labels = np.asarray(
-                self.label_transform2(np.squeeze(labels)), dtype=np.float32
-            )
+        labels = self._apply_label_transform2(labels)
 
         # No augmentations -> plain (x, y) tuple, exactly like the reference
         # (my_image_collection_dataset.py:369-372) — the lung supervised
@@ -589,12 +594,7 @@ class SegmentationDataset(_PatchDatasetBase):
         labels = np.asarray(labels, dtype=np.float32)
         if self.transform is not None:
             raw, labels = self.transform([raw, labels], rng)
-        # post-augmentation label transform (torch_em ``label_transform2``;
-        # see ImageCollectionDataset.sample)
-        if self.label_transform2 is not None:
-            labels = np.asarray(
-                self.label_transform2(np.squeeze(labels)), dtype=np.float32
-            )
+        labels = self._apply_label_transform2(labels)
         if self.raw_transform is not None:
             raw = self.raw_transform(raw)
         return _ensure_hwc(raw), _ensure_hwc(labels)
@@ -621,12 +621,7 @@ class DualSegmentationDataset(SegmentationDataset):
         labels = np.asarray(labels, dtype=np.float32)
         if self.transform is not None:
             raw, labels = self.transform([raw, labels], rng)
-        # post-augmentation label transform (torch_em ``label_transform2``;
-        # see ImageCollectionDataset.sample)
-        if self.label_transform2 is not None:
-            labels = np.asarray(
-                self.label_transform2(np.squeeze(labels)), dtype=np.float32
-            )
+        labels = self._apply_label_transform2(labels)
 
         if self.augmentation1 is None and self.augmentation2 is None:
             if self.raw_transform is not None:

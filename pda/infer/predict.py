@@ -134,7 +134,11 @@ def _tiled_punet_probs_jit(model, params, image, key, n_samples, block, halo,
         each shard's tile block with the fused Pallas kernels ALIVE; the
         latent draws come from the global-batch noise slice
         (``sharded_normal``), so the result is bit-identical to the
-        single-device program.
+        single-device program WHEN the tile count divides the mesh (no
+        padding). With padding the noise tensor's shape differs from the
+        unpadded single-device draw, so the counter-based PRNG yields
+        different (equally valid) samples — statistically equivalent,
+        not bitwise.
       * GSPMD (2-D meshes / ``PDA_DP_IMPL=gspmd``): an explicit sharding
         constraint on the tile batch. The constraint matters: with
         replicated params and an unconstrained tile batch, GSPMD replicates

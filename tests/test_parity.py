@@ -409,6 +409,11 @@ class TestTrainingParity:
 
     The latent draws and their RNG streams are framework-specific, so this is
     STATISTICAL parity of the training trajectory, not bitwise equality.
+    Within one fixed environment (pinned torch/jax versions, fixed seeds,
+    CPU) the run is deterministic, and the measured delta (0.0023) sits at
+    ~2x margin under the bound; if a torch/jax upgrade ever lands this near
+    the 0.005 line, widen via seed-averaging rather than loosening the
+    bound (the bound IS the acceptance metric).
     """
 
     FILTERS = (16, 16, 16, 16)
