@@ -25,7 +25,10 @@ the benchmark is shaped to always print its JSON line inside
   * The FUSED step is built and timed FIRST. The naive baseline is only
     measured if enough budget remains (it needs several extra program
     compiles + loads); otherwise ``vs_baseline`` falls back to the last
-    fully-measured ratio, flagged via ``"vs_baseline_source": "recorded"``.
+    fully-measured ratio at the default config, flagged via
+    ``"vs_baseline_source"``: ``"recorded"`` (budget skip),
+    ``"recorded-after-error"`` (baseline crashed), or
+    ``"unmeasured-config"`` with a null ratio at non-default geometries.
   * The transient-failure retry re-execs once but inherits the ORIGINAL
     deadline through the environment, so the worst case cannot double.
 
