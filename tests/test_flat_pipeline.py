@@ -231,3 +231,38 @@ class TestFlatModelPath:
         monkeypatch.setenv("PDA_MC_PAIR", "1")
         out = mc_decode_logits(model, params, enc.features, enc.prior, key, 4)
         np.testing.assert_allclose(out, ref, rtol=1e-5, atol=1e-6)
+
+
+class TestPoolMatmulForm:
+    def test_pool_mm_matches_reduce_form(self, monkeypatch):
+        """The matmul-formulated column pool (PDA_POOL_MM, default on) is
+        numerically identical to the reshape-sum + pad form, for both the
+        unpacked and packed flats, values and gradients."""
+        import jax
+        import jax.numpy as jnp
+
+        from pda.models import flat_ops
+
+        rng = np.random.default_rng(0)
+        h, w, c = 32, 48, 8
+        x = jnp.asarray(rng.normal(size=(2, h, w, c)).astype(np.float32))
+        xf = flat_ops.to_flat(x)
+        xfp = flat_ops.to_flat_packed(x)
+
+        def run(flag):
+            monkeypatch.setenv("PDA_POOL_MM", flag)
+            f = lambda a: jnp.sum(flat_ops.pool_flat(a, h, w) ** 2)  # noqa: E731
+            fp = lambda a: jnp.sum(  # noqa: E731
+                flat_ops.pool_flat_packed(a, h, w) ** 2
+            )
+            return (
+                np.asarray(flat_ops.pool_flat(xf, h, w)),
+                np.asarray(flat_ops.pool_flat_packed(xfp, h, w)),
+                np.asarray(jax.grad(f)(xf)),
+                np.asarray(jax.grad(fp)(xfp)),
+            )
+
+        a = run("0")
+        b = run("1")
+        for u, v in zip(a, b):
+            np.testing.assert_allclose(u, v, atol=1e-5)
