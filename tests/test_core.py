@@ -224,3 +224,22 @@ class TestL2Reg:
         # Sum of per-tensor 2-norms, NOT a global norm (my_models/utils.py:32-40).
         params = {"a": jnp.array([3.0, 4.0]), "b": {"c": jnp.array([5.0, 12.0])}}
         assert jnp.allclose(l2_regularisation(params), 5.0 + 13.0)
+
+
+def test_every_env_knob_is_documented_in_knobs_md():
+    """KNOBS.md's contract: every PDA_* environment variable the code reads
+    appears in the table (grep check from the doc, enforced)."""
+    import re
+    from pathlib import Path
+
+    root = Path(__file__).resolve().parents[1]
+    used = set()
+    for base in ("pda", "native"):
+        for p in (root / base).rglob("*"):
+            if p.suffix in (".py", ".cpp"):
+                used |= set(re.findall(r"PDA_[A-Z0-9_]+", p.read_text()))
+    for name in ("bench.py", "__graft_entry__.py"):
+        used |= set(re.findall(r"PDA_[A-Z0-9_]+", (root / name).read_text()))
+    documented = set(re.findall(r"PDA_[A-Z0-9_]+", (root / "KNOBS.md").read_text()))
+    missing = sorted(used - documented)
+    assert not missing, f"undocumented env knobs: {missing} — add them to KNOBS.md"
