@@ -228,10 +228,7 @@ def main():
     # recorded ratio was measured at the DEFAULT config only — at any other
     # geometry/dtype there is no honest fallback number, so emit null with
     # a distinct source instead of publishing an unmeasured ratio.
-    default_config = (
-        BATCH == 2 and HW == 512
-        and os.environ.get("PDA_BENCH_DTYPE", "bf16") == "bf16"
-    )
+    default_config = BATCH == 2 and HW == 512 and DTYPE == jnp.bfloat16
     vs_baseline = None
     source = "measured"
     naive_budget_s = float(os.environ.get("PDA_BENCH_NAIVE_BUDGET_S", 150))

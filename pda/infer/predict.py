@@ -240,11 +240,12 @@ def punet_prediction(
 
     os.makedirs(output_pred_path, exist_ok=True)
     pin = nullcontext()
+    use_shard_map = _infer_shard_map(mesh)
     if mesh is not None:
         from ..parallel.mesh import replicated
 
         params = jax.device_put(params, replicated(mesh))
-        if mesh.devices.size > 1 and not _infer_shard_map(mesh):
+        if mesh.devices.size > 1 and not use_shard_map:
             from ..models.blocks import force_xla_conv_path
 
             # the fused Pallas conv kernels are opaque to GSPMD — trace with
@@ -262,7 +263,7 @@ def punet_prediction(
             key, sub = jax.random.split(key)
             pred = _tiled_punet_probs(
                 model, params, jnp.asarray(img), sub, prior_samples,
-                block_shape, halo, mesh, shard_map=_infer_shard_map(mesh),
+                block_shape, halo, mesh, shard_map=use_shard_map,
             )
             out = os.path.join(output_pred_path, f"{_stem(img_name)}.tif")
             _write_tiff(out, np.asarray(pred)[..., 0].astype(np.float32))
