@@ -367,7 +367,14 @@ def boundary_transform(labels: np.ndarray) -> np.ndarray:
 
 def affinity_transform(labels: np.ndarray, offsets=((0, 1), (1, 0))) -> np.ndarray:
     """Instance labels -> affinity channels (torch_em AffinityTransform
-    equivalent; reference my_livecell.py:200-205). Channel last."""
+    equivalent; reference my_livecell.py:188-194). Channel last.
+
+    Convention: affogato's ``compute_affinities`` (which torch_em wraps) is
+    pure label equality in the MALA convention — affinity 1 where the two
+    endpoints carry the SAME label, including background-background pairs
+    (0 == 0 -> 1). Background is only excluded via ``ignore_label``, which
+    the reference factories never pass. Out-of-bounds edges get affinity 0
+    (and validity-mask 0, see ``_affinity_mask``)."""
     lab = np.asarray(labels)
     chans = []
     for dy, dx in offsets:
@@ -375,7 +382,7 @@ def affinity_transform(labels: np.ndarray, offsets=((0, 1), (1, 0))) -> np.ndarr
         h, w = lab.shape[:2]
         src = lab[max(0, -dy) : h - max(0, dy), max(0, -dx) : w - max(0, dx)]
         dst = lab[max(0, dy) : h + min(0, dy) or h, max(0, dx) : w + min(0, dx) or w]
-        same = (src == dst) & (src > 0)
+        same = src == dst
         aff[max(0, -dy) : h - max(0, dy), max(0, -dx) : w - max(0, dx)] = same
         chans.append(aff)
     return np.stack(chans, axis=-1)

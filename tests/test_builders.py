@@ -477,6 +477,32 @@ class TestLabelTransformUnits:
         # instance/background edge -> affinity 0
         assert out[1, 3, 1] == 0.0  # (1,3)-(1,4) crosses the border
 
+    def test_affinity_convention_matches_affogato_equality(self):
+        """affogato's compute_affinities (which torch_em's AffinityTransform
+        wraps, reference my_livecell.py:190) is PURE label equality in the
+        MALA convention: background-background pairs (0 == 0) get affinity 1;
+        background is only excluded via ignore_label, which the reference
+        factories never pass. Pin that convention (an earlier revision
+        deviated with an ``src > 0`` condition; see PARITY.md)."""
+        from pda.data.transforms import affinity_transform
+
+        lab = np.zeros((6, 6), np.uint16)
+        lab[1:3, 1:3] = 1
+        lab[4:6, 4:6] = 2
+        affs = affinity_transform(lab, offsets=((0, 1), (1, 0)))
+        # bg-bg pair -> 1 (equality), NOT 0
+        assert affs[0, 0, 0] == 1.0  # (0,0)-(0,1) both background
+        assert affs[3, 3, 1] == 1.0  # (3,3)-(4,3) wait: (3,3) bg, (4,3) bg
+        # same-instance pair -> 1
+        assert affs[1, 1, 0] == 1.0
+        # instance-background transition -> 0
+        assert affs[1, 2, 0] == 0.0  # (1,2) label 1, (1,3) background
+        # different-instance transition -> 0 (none adjacent here; build one)
+        lab2 = np.array([[1, 2]], np.uint16)
+        assert affinity_transform(lab2, offsets=((0, 1),))[0, 0, 0] == 0.0
+        # out-of-bounds edges -> affinity 0
+        assert affs[0, 5, 0] == 0.0 and affs[5, 0, 1] == 0.0
+
 
 class TestLabelTransform2Ordering:
     def test_affinities_computed_after_augmentation(self):
