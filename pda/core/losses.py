@@ -24,7 +24,16 @@ import jax.numpy as jnp
 from .distributions import DiagGaussian, kl_divergence, mc_kl_divergence
 
 
-def _gsum(x: jax.Array, axis_name: Optional[str]) -> jax.Array:
+def _axes(axis_name) -> Optional[tuple]:
+    """Normalize an axis spec (None | str | tuple of str) to a tuple or None.
+    Tuples arise on 2-D (data, space) shard_map meshes where pixel-level
+    sums must cross BOTH the batch shards and the row shards."""
+    if axis_name is None:
+        return None
+    return (axis_name,) if isinstance(axis_name, str) else tuple(axis_name)
+
+
+def _gsum(x: jax.Array, axis_name) -> jax.Array:
     """Cross-shard sum whose VALUE is global but whose GRADIENT is local.
 
     With batches sharded over ``axis_name``, every ``sum over the batch``

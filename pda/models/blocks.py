@@ -248,6 +248,154 @@ def force_xla_conv_path(note: str = ""):
             os.environ["PDA_PALLAS_CONV"] = prev
 
 
+# ---------------------------------------------------------------------------
+# Spatial (row) sharding under shard_map: explicit halo exchange.
+#
+# With image rows sharded over a mesh axis (manual SPMD via jax.shard_map),
+# every 3-conv block extends its input with HALO rows from the neighboring
+# shards via jax.lax.ppermute, runs the ordinary fused kernel on the extended
+# rows, and crops — so the Pallas conv kernels stay alive per shard where the
+# GSPMD partitioner would have to treat them as unsplittable opaque calls
+# (SURVEY.md section 5.7; VERDICT r3 next-round item 4). The context below is
+# read at TRACE time (like force_xla_conv_path) by ConvBlock / UpBlock /
+# GaussianEncoder; the engine activates it while tracing steps on a
+# (data, space) shard_map mesh.
+# ---------------------------------------------------------------------------
+
+_SPACE_AXIS: Optional[str] = None
+
+#: rows exchanged per block edge. The 3-conv chain needs 3; 4 keeps the
+#: extended height h_loc + 8 divisible by 8 for the kernel row tiles.
+HALO = 4
+#: rows whose fused-kernel output is wrong at a GLOBAL image boundary (the
+#: zero halo there differs from per-layer zero padding once intermediates
+#: propagate: h2 corrupt at distance 0, h3 at distance <= 1) — recomputed
+#: exactly from a boundary strip and patched in. 3 leaves safety margin.
+_EDGE_FIX = 3
+#: strip height for the exact boundary recompute: outputs [0, _EDGE_FIX) of a
+#: SAME-conv chain need input rows < _EDGE_FIX + 3 <= 8; 16 keeps the strip
+#: itself row-tile friendly.
+_EDGE_STRIP = 16
+
+
+@contextmanager
+def space_sharding(axis_name: str):
+    """Declare that image rows (H of NHWC) are sharded over ``axis_name``
+    inside the enclosing ``jax.shard_map``. Trace-time context."""
+    global _SPACE_AXIS
+    prev = _SPACE_AXIS
+    _SPACE_AXIS = axis_name
+    try:
+        yield
+    finally:
+        _SPACE_AXIS = prev
+
+
+def space_axis() -> Optional[str]:
+    return _SPACE_AXIS
+
+
+def _halo_exchange_rows(x: jax.Array, halo: int, axis_name: str) -> jax.Array:
+    """Extend (B, h_loc, W, C) with ``halo`` rows from each row-neighbor.
+
+    Boundary shards receive zeros (ppermute's semantics for unpaired
+    devices) — the same values SAME-padding would supply, see the edge fix
+    in :func:`_conv3_space_sharded`."""
+    n = jax.lax.axis_size(axis_name)
+    if n == 1:
+        z = jnp.zeros_like(x[:, :halo])
+        return jnp.concatenate([z, x, z], axis=1)
+    fwd = [(i, i + 1) for i in range(n - 1)]
+    bwd = [(i + 1, i) for i in range(n - 1)]
+    prev_bot = jax.lax.ppermute(x[:, -halo:], axis_name, fwd)
+    next_top = jax.lax.ppermute(x[:, :halo], axis_name, bwd)
+    return jnp.concatenate([prev_bot, x, next_top], axis=1)
+
+
+def _conv3_space_sharded(x: jax.Array, fn_for, weights, axis_name: str):
+    """Run a 3-conv block on row-sharded x with explicit halo exchange.
+
+    ``fn_for(h)`` picks the conv implementation for height ``h`` (the caller
+    re-evaluates kernel eligibility at the extended height). The halo rows a
+    GLOBAL-boundary shard receives are zeros, which matches SAME padding for
+    the first conv but not for the deeper layers (their zero pad applies to
+    INTERMEDIATES, which are nonzero over the fake region once a bias/input
+    tap reaches in) — so the ``_EDGE_FIX`` rows nearest each global boundary
+    are recomputed exactly from an in-shard strip (plain XLA convs, identical
+    math at SAME-padded edges) and patched in on the first/last shard only.
+    """
+    n = jax.lax.axis_size(axis_name)
+    idx = jax.lax.axis_index(axis_name)
+    ext = _halo_exchange_rows(x, HALO, axis_name)
+    y = fn_for(ext.shape[1])(ext, *weights)[:, HALO:-HALO]
+    # the strip must cover the fixed rows' receptive field (_EDGE_FIX + 3)
+    # without its far-edge padding reaching back in
+    strip = min(x.shape[1], _EDGE_STRIP)
+    if strip < _EDGE_FIX + 6:
+        raise ValueError(
+            f"row shards of {x.shape[1]} rows are too small for the "
+            f"boundary fix (need >= {_EDGE_FIX + 6}); use fewer 'space' "
+            f"shards or larger images"
+        )
+    strip_fn = conv3_relu  # plain path: exact SAME-edge semantics
+    top = strip_fn(x[:, :strip], *weights)[:, :_EDGE_FIX]
+    bot = strip_fn(x[:, -strip:], *weights)[:, -_EDGE_FIX:]
+    first = (idx == 0)
+    last = (idx == n - 1)
+    y = y.at[:, :_EDGE_FIX].set(
+        jnp.where(first, top.astype(y.dtype), y[:, :_EDGE_FIX])
+    )
+    y = y.at[:, -_EDGE_FIX:].set(
+        jnp.where(last, bot.astype(y.dtype), y[:, -_EDGE_FIX:])
+    )
+    return y
+
+
+def upsample_2x_align_corners_sharded(x: jax.Array, axis_name: str) -> jax.Array:
+    """Row-sharded align-corners x2 upsample (exact).
+
+    Each shard's 2*h_loc output rows interpolate input rows
+    [s*h_loc - 1, (s+1)*h_loc] — one row from each neighbor. The local
+    interpolation weights are a dynamic row/col block of the SAME static
+    (2H, H) matrix the single-device path uses (zero-padded by one column on
+    each side so boundary shards address their zero halo row with zero
+    weight), so values match the unsharded op bit-for-bit."""
+    b, hl, w, c = x.shape
+    n = jax.lax.axis_size(axis_name)
+    s = jax.lax.axis_index(axis_name)
+    H = hl * n
+    if n == 1:
+        return upsample_2x_align_corners(x)
+    prev_last = jax.lax.ppermute(
+        x[:, -1:], axis_name, [(i, i + 1) for i in range(n - 1)]
+    )
+    next_first = jax.lax.ppermute(
+        x[:, :1], axis_name, [(i + 1, i) for i in range(n - 1)]
+    )
+    ext = jnp.concatenate([prev_last, x, next_first], axis=1)  # (b, hl+2, w, c)
+    m_full = np.pad(_upsample_matrix(H), ((0, 0), (1, 1)))  # (2H, H+2)
+    m_loc = jax.lax.dynamic_slice(
+        jnp.asarray(m_full, x.dtype), (s * 2 * hl, s * hl), (2 * hl, hl + 2)
+    )
+    ww = jnp.asarray(_upsample_matrix(w), x.dtype)
+    precision = (
+        jax.lax.Precision.HIGHEST if x.dtype == jnp.float32 else None
+    )
+    x = jnp.einsum("Hh,bhwc->bHwc", m_loc, ext, precision=precision)
+    return jnp.einsum("Ww,bhwc->bhWc", ww, x, precision=precision)
+
+
+def global_mean_rows_sharded(x_mean_local: jax.Array, axis_name: str) -> jax.Array:
+    """Global spatial mean from per-shard means over row shards: value is
+    the exact global mean (pmean), gradient is the local 1/n contribution —
+    the same value-global/gradient-local construction as
+    ``pda.core.losses._gsum`` (the outer gradient psum reassembles it)."""
+    n = jax.lax.axis_size(axis_name)
+    return jax.lax.stop_gradient(
+        jax.lax.pmean(x_mean_local, axis_name)
+    ) + (x_mean_local - jax.lax.stop_gradient(x_mean_local)) / n
+
+
 def pallas_conv_enabled() -> bool:
     """Use the Pallas fused block kernels? Env override PDA_PALLAS_CONV=0/1,
     default: only on TPU backends (the kernels target Mosaic/v5e)."""
@@ -823,34 +971,45 @@ class ConvBlock(nn.Module):
             cin = self.features
         x = x.astype(self.dtype)
         if self.n_convs == 3:
-            h = x.shape[1]
             cin, c = x.shape[-1], self.features
-            fn = conv3_relu
+            width = x.shape[2]
 
-            maxc = int(os.environ.get("PDA_PALLAS_MAXC", "0") or 0)
-            if (
-                pallas_conv_enabled()
-                and _fwd_row_tile(h, cin, c) > 0
-                and _bwd_row_tile(h, cin, c) > 0
-                and (maxc == 0 or c <= maxc)
-            ):
-                mode = os.environ.get("PDA_PALLAS_CONV_MODE", "full")
-                fn = conv3_relu_mixed if mode == "mixed" else conv3_relu_pallas
+            def pick(h):
+                fn = conv3_relu
+                maxc = int(os.environ.get("PDA_PALLAS_MAXC", "0") or 0)
                 if (
-                    mode == "full"
-                    and c <= 64
-                    and x.shape[2] % 2 == 0
-                    and _packed_fwd_row_tile(h, cin, c) > 0
-                    and _packed_bwd_row_tile(h, cin, c) > 0
-                    and os.environ.get("PDA_PALLAS_PACKED", "1") != "0"
+                    pallas_conv_enabled()
+                    and _fwd_row_tile(h, cin, c) > 0
+                    and _bwd_row_tile(h, cin, c) > 0
+                    and (maxc == 0 or c <= maxc)
                 ):
-                    fn = conv3_relu_packed
-            return fn(
-                x,
+                    mode = os.environ.get("PDA_PALLAS_CONV_MODE", "full")
+                    fn = (
+                        conv3_relu_mixed if mode == "mixed"
+                        else conv3_relu_pallas
+                    )
+                    if (
+                        mode == "full"
+                        and c <= 64
+                        and width % 2 == 0
+                        and _packed_fwd_row_tile(h, cin, c) > 0
+                        and _packed_bwd_row_tile(h, cin, c) > 0
+                        and os.environ.get("PDA_PALLAS_PACKED", "1") != "0"
+                    ):
+                        fn = conv3_relu_packed
+                return fn
+
+            weights = (
                 params[0].kernel, params[0].bias,
                 params[1].kernel, params[1].bias,
                 params[2].kernel, params[2].bias,
             )
+            if _SPACE_AXIS is not None:
+                return _conv3_space_sharded(x, pick, weights, _SPACE_AXIS)
+            return pick(x.shape[1])(x, *weights)
+        assert _SPACE_AXIS is None, (
+            "space sharding supports the 3-conv blocks only"
+        )
         for cp in params:
             x = jnp.maximum(_conv_same(x, cp.kernel) + cp.bias.astype(x.dtype), 0.0)
         return x
@@ -943,7 +1102,10 @@ class UpBlock(nn.Module):
             return ConvBlock(self.features, n_convs=self.n_convs, dtype=self.dtype)(
                 block_in, flat_geom=(2 * h, 2 * w, cin + cb)
             )
-        up = upsample_2x_align_corners(x)
+        if _SPACE_AXIS is not None:
+            up = upsample_2x_align_corners_sharded(x, _SPACE_AXIS)
+        else:
+            up = upsample_2x_align_corners(x)
         assert up.shape[1] == bridge.shape[1] and up.shape[2] == bridge.shape[2], (
             f"skip-connection shape mismatch: {up.shape} vs {bridge.shape}"
         )

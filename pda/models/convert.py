@@ -133,6 +133,74 @@ def convert_punet_state_dict(
     return params
 
 
+def convert_unet_state_dict(state: Dict, *, depth: int = 4) -> Dict:
+    """torch_em ``UNet2d`` ``model_state`` dict -> pda ``UNet2d`` params.
+
+    torch_em layout (torch_em model/unet.py; the reference trains this via
+    LIVECell/livecell_unet.py:39-45):
+
+      encoder.blocks.{i}.block.{j}   ConvBlock2d: InstanceNorm at 0/3 (no
+                                     params), convs at 1/4 (norm=None: 0/2)
+      base.block.{j}                 same ConvBlock2d layout
+      decoder.samplers.{i}.conv      Upsampler2d's 1x1 conv (after bilinear)
+      decoder.blocks.{i}.block.{j}   ConvBlock2d
+      out_conv                       1x1 head
+
+    pda layout (models/unet.py::UNet2d, flax auto-naming): encoder blocks
+    ``_DoubleConv_0..depth-1``, base ``_DoubleConv_{depth}``, decoder blocks
+    ``_DoubleConv_{depth+1+i}``, sampler convs ``Conv_0..depth-1``, head
+    ``Conv_{depth}``. The parameterless InstanceNorm holds no weights on
+    either side. Affine-norm checkpoints (torch_em ``InstanceNormTrackStats``
+    etc.) are rejected with a clear error."""
+    for k in state:
+        if (".block.0.weight" in k or ".block.3.weight" in k) and \
+                state[k].ndim == 1:
+            raise ValueError(
+                f"checkpoint carries affine/track-stats norm parameters "
+                f"({k}); only torch_em's default parameterless InstanceNorm "
+                f"(or norm=None) layout is supported"
+            )
+
+    def block(prefix: str) -> Dict:
+        # conv indices 1/4 with the norm layers present, 0/2 without
+        idx = (1, 4) if f"{prefix}.block.1.weight" in state else (0, 2)
+        return {
+            f"Conv_{j}": {
+                "kernel": _conv(_np(state[f"{prefix}.block.{k}.weight"])),
+                "bias": _np(state[f"{prefix}.block.{k}.bias"]),
+            }
+            for j, k in enumerate(idx)
+        }
+
+    params: Dict = {}
+    for i in range(depth):
+        params[f"_DoubleConv_{i}"] = block(f"encoder.blocks.{i}")
+    params[f"_DoubleConv_{depth}"] = block("base")
+    for i in range(depth):
+        params[f"Conv_{i}"] = {
+            "kernel": _conv(_np(state[f"decoder.samplers.{i}.conv.weight"])),
+            "bias": _np(state[f"decoder.samplers.{i}.conv.bias"]),
+        }
+        params[f"_DoubleConv_{depth + 1 + i}"] = block(f"decoder.blocks.{i}")
+    params[f"Conv_{depth}"] = {
+        "kernel": _conv(_np(state["out_conv.weight"])),
+        "bias": _np(state["out_conv.bias"]),
+    }
+    return params
+
+
+def load_torch_unet_checkpoint(
+    path: str, *, key: str = "model_state", depth: int = 4
+) -> Dict:
+    """Load a torch_em-trained UNet2d ``best.pt``/``latest.pt`` and convert
+    the selected state dict to a pda ``UNet2d`` params pytree."""
+    import torch
+
+    blob = torch.load(path, map_location="cpu", weights_only=False)
+    state = blob[key] if key in blob else blob
+    return convert_unet_state_dict(state, depth=depth)
+
+
 def load_torch_checkpoint(
     path: str,
     *,

@@ -318,9 +318,14 @@ def module_flat_plan(x, num_filters, n_convs_per_block: int, *, with_decoder: bo
     both PUNetBackbone and GaussianEncoder so their gating can never drift
     (None = take the image path). Only eligible on TPU with the Pallas
     kernels enabled and the 3-conv block shape the kernels serve."""
-    from .blocks import pallas_conv_enabled
+    from .blocks import pallas_conv_enabled, space_axis
 
     if n_convs_per_block != 3 or not pallas_conv_enabled():
+        return None
+    if space_axis() is not None:
+        # row-sharded shard_map: blocks run the IMAGE-mode kernels with
+        # explicit halo exchange (blocks._conv3_space_sharded); the flat
+        # pipeline's canvas layouts are not halo-aware
         return None
     b, h, w, cin = x.shape
     return flat_pipeline_plan(h, w, cin, num_filters, with_decoder=with_decoder)

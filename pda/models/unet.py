@@ -152,26 +152,43 @@ class PUNetBackbone(nn.Module):
 
 
 class _DoubleConv(nn.Module):
+    """torch_em ``ConvBlock2d``: (InstanceNorm -> Conv3x3 -> ReLU) x 2.
+
+    The norm runs BEFORE each conv (torch_em model/unet.py ConvBlock) and is
+    PyTorch's parameterless ``nn.InstanceNorm2d`` (affine=False, eps=1e-5) —
+    per-sample per-channel standardization over H,W with no learned
+    scale/bias, so the flax param tree holds only the two conv kernels and
+    the converted torch state dicts line up one-to-one."""
+
     features: int
+    norm: Optional[str] = "InstanceNorm"
     dtype: jnp.dtype = jnp.float32
 
     @nn.compact
     def __call__(self, x: jax.Array) -> jax.Array:
         for _ in range(2):
+            if self.norm == "InstanceNorm":
+                x = nn.GroupNorm(
+                    num_groups=None, group_size=1, use_bias=False,
+                    use_scale=False, epsilon=1e-5, dtype=self.dtype,
+                )(x)
             x = nn.Conv(self.features, (3, 3), padding="SAME", dtype=self.dtype)(x)
-            x = nn.GroupNorm(num_groups=None, group_size=1, dtype=self.dtype)(x)  # instance norm
             x = nn.relu(x)
         return x
 
 
 class UNet2d(nn.Module):
-    """Standalone 2D segmentation UNet (torch_em ``UNet2d`` equivalent).
+    """Standalone 2D segmentation UNet — torch_em ``UNet2d`` with the exact
+    reference architecture so torch checkpoints port weight-for-weight
+    (``pda.models.convert.convert_unet_state_dict``).
 
-    Capability match for the reference's external dependency
-    (SURVEY.md section 2.9; call sites LIVECell/livecell_unet.py:39-45,
-    MitoEM/mitoem_unet.py:18-24): depth-d encoder of double 3x3 convs with
-    instance norm, 2x2 max-pool down, stride-2 transposed-conv up with skip
-    concatenation, 1x1 head, optional sigmoid.
+    Reference call sites: LIVECell/livecell_unet.py:39-45,
+    MitoEM/mitoem_unet.py:18-24 (SURVEY.md section 2.9). Structure (torch_em
+    model/unet.py): depth-d encoder of (InstanceNorm->Conv3x3->ReLU)x2
+    blocks, 2x2 max-pool down, base block at ``initial_features*gain**depth``,
+    decoder of bilinear x2 upsample (half-pixel centers, PyTorch
+    ``align_corners=False``) + 1x1 conv samplers with skip concatenation
+    [up | skip], 1x1 out conv, optional sigmoid.
     """
 
     in_channels: int = 1
@@ -180,6 +197,7 @@ class UNet2d(nn.Module):
     initial_features: int = 64
     gain: int = 2
     final_activation: Optional[str] = "sigmoid"
+    norm: Optional[str] = "InstanceNorm"
     dtype: jnp.dtype = jnp.float32
 
     @nn.compact
@@ -188,21 +206,26 @@ class UNet2d(nn.Module):
 
         skips = []
         for i in range(self.depth):
-            x = _DoubleConv(feats[i], dtype=self.dtype)(x)
+            x = _DoubleConv(feats[i], norm=self.norm, dtype=self.dtype)(x)
             skips.append(x)
             x = nn.max_pool(x, (2, 2), strides=(2, 2))
 
-        x = _DoubleConv(feats[self.depth], dtype=self.dtype)(x)
+        x = _DoubleConv(feats[self.depth], norm=self.norm, dtype=self.dtype)(x)
 
         for i in range(self.depth - 1, -1, -1):
-            x = nn.ConvTranspose(
-                feats[i], (2, 2), strides=(2, 2), dtype=self.dtype
-            )(x)
+            # torch_em Upsampler2d: F.interpolate(scale_factor=2,
+            # mode="bilinear") [align_corners=False == half-pixel centers,
+            # jax.image.resize "linear"] followed by a 1x1 conv
+            n, h, w, c = x.shape
+            x = jax.image.resize(
+                x.astype(jnp.float32), (n, 2 * h, 2 * w, c), method="linear"
+            ).astype(self.dtype)
+            x = nn.Conv(feats[i], (1, 1), dtype=self.dtype)(x)
             x = jnp.concatenate([x, skips[i]], axis=-1)
-            x = _DoubleConv(feats[i], dtype=self.dtype)(x)
+            x = _DoubleConv(feats[i], norm=self.norm, dtype=self.dtype)(x)
 
         x = nn.Conv(self.out_channels, (1, 1), dtype=self.dtype)(x)
         x = x.astype(jnp.float32)  # head stays f32 for stable loss sums
-        if self.final_activation == "sigmoid":
-            x = nn.sigmoid(x)
+        if (self.final_activation or "").lower() == "sigmoid":
+            x = nn.sigmoid(x)  # torch_em accepts "Sigmoid" (getattr(nn, ...))
         return x

@@ -56,8 +56,10 @@ class Trainer:
 
     #: subclasses using an EMA teacher set this
     with_teacher = False
-    #: TB image-panel tags, positionally matching the train batch tuple
-    #: (reference loggers' image panels, SURVEY.md section 2.2)
+    #: TB image-panel tag set this trainer writes at ``log_image_interval``
+    #: steps — the reference logger's panel list (SURVEY.md section 2.2).
+    #: Produced by ``make_panel_fn`` + ``assemble_panels``, not positionally
+    #: from the batch tuple.
     image_tags: tuple = ()
 
     def __init__(
@@ -113,6 +115,7 @@ class Trainer:
         self.state: Optional[TrainState] = None
         self._train_step_jit = None
         self._val_step_jit = None
+        self._panel_jit = None
 
     # -- subclass hooks ------------------------------------------------------
 
@@ -121,6 +124,22 @@ class Trainer:
 
     def make_val_step(self) -> Callable:
         raise NotImplementedError
+
+    def make_panel_fn(self) -> Optional[Callable]:
+        """Jittable ``(params, teacher_params, rng, *batch) -> {tag: array}``
+        producing this trainer's reference TB image panels (in-graph tensors:
+        pseudo-labels, consensus, MC samples, predictions). None = no panels."""
+        return None
+
+    def panel_batch(self, batch):
+        """The sub-tuple of ``batch`` the panel fn consumes (joint trainers
+        pass only the target-side tensors, like the reference loggers)."""
+        return batch
+
+    def assemble_panels(self, raw: dict) -> dict:
+        """Host-side post-processing of the fetched panel tensors (sample
+        grids etc.). Default: numpy-ify only."""
+        return {k: np.asarray(v, np.float32) for k, v in raw.items()}
 
     def init_params(self, key, example_batch):
         raise NotImplementedError
@@ -226,7 +245,29 @@ class Trainer:
             self.state = jax.device_put(self.state, jax.devices()[0])
         self._train_step_jit = self._wrap_step(self.make_train_step(), donate=True)
         self._val_step_jit = self._wrap_step(self.make_val_step(), donate=False)
+        if self.logger is not None:
+            pf = self.make_panel_fn()
+            self._panel_jit = jax.jit(pf) if pf is not None else None
         self._post_initialize()
+
+    def _compute_panels(self, batch) -> Optional[dict]:
+        """Run the panel program on the first batch element and return the
+        assembled host-side image dict. The panel program is a separate
+        forward-only jit on the default device — the train step's HLO and
+        cadence are untouched; on a mesh, the (replicated) params are pulled
+        host-side first so the single-device panel program never asks GSPMD
+        to partition anything."""
+        if self._panel_jit is None:
+            return None
+        batch = self.panel_batch(batch)
+        small = tuple(np.asarray(b[:1]) for b in batch)
+        params, teacher, rng = self.state.params, (
+            self.state.teacher_params if self.with_teacher else self.state.params
+        ), self.state.rng
+        if self.mesh is not None:
+            params, teacher, rng = jax.device_get((params, teacher, rng))
+        raw = self._panel_jit(params, teacher, rng, *small)
+        return self.assemble_panels({k: np.asarray(v) for k, v in raw.items()})
 
     def _post_initialize(self):
         """Warm starts etc. — overridden by the self-training trainers."""
@@ -320,19 +361,16 @@ class Trainer:
                             scalars["learning_rate"] = lr
                         self.logger.log_train(step_idx, scalars)
                     pending = (self._iteration, metrics)
-                    # trainer tags (ordered like the batch tuple) win; a
-                    # tagless trainer uses the logger class's panel list
-                    tags = self.image_tags or self.logger.image_tags
+                    # reference loggers write their image panels (pseudo
+                    # labels, consensus, MC samples, predictions) every
+                    # log_image_interval steps (punet_trainer.py:119-120 etc.)
                     if (
-                        tags
+                        self._panel_jit is not None
                         and self._iteration % self.logger.log_image_interval == 0
                     ):
-                        images = {
-                            tag: np.asarray(batch[i][0])
-                            for i, tag in enumerate(tags)
-                            if i < len(batch)
-                        }
-                        self.logger.log_train(self._iteration, {}, images)
+                        images = self._compute_panels(batch)
+                        if images:
+                            self.logger.log_train(self._iteration, {}, images)
 
                 self._iteration += 1
                 if self._iteration >= iterations:
@@ -389,17 +427,25 @@ class Trainer:
     def _validate_impl(self) -> dict:
         sums: dict = {}
         n = 0
+        last_batch = None
         for batch in self.val_batches():
             batch = self._put(batch)
             self.state, metrics = self._val_step_jit(self.state, *batch)
             for k, v in metrics.items():
                 sums[k] = v if k not in sums else sums[k] + v
             n += 1
+            last_batch = batch
         avg = {k: float(v) / max(n, 1) for k, v in sums.items()}
         if "dice" in avg:
             print(f"The Average Dice Score for the Current Epoch is {avg['dice']}")
         if self.logger is not None:
-            self.logger.log_validation(self._iteration, avg)
+            # the reference loggers write their image panels on EVERY
+            # validation, from the last val batch (punet_trainer.py:94-97)
+            images = (
+                self._compute_panels(last_batch)
+                if last_batch is not None else None
+            )
+            self.logger.log_validation(self._iteration, avg, images)
         return avg
 
     # -- checkpoints -------------------------------------------------------------
@@ -463,11 +509,26 @@ class _PUNetInitMixin:
         return variables["params"]
 
 
+class _SampleGridPanelsMixin:
+    """Host-side grid assembly for trainers logging a 16-sample panel
+    (reference PUNetLogger: ``make_grid(samples, nrow=4, padding=4)``,
+    punet_trainer.py:113)."""
+
+    def assemble_panels(self, raw: dict) -> dict:
+        from .logging import make_grid
+
+        raw = dict(raw)
+        samples = np.asarray(raw.pop("samples"), np.float32)
+        images = {k: np.asarray(v, np.float32) for k, v in raw.items()}
+        images["samples"] = make_grid(list(samples), nrow=4, padding=4)
+        return images
+
+
 class UNetTrainer(Trainer):
     """Supervised UNet2d trainer (torch_em default_segmentation_trainer
     equivalent; reference usage LIVECell/livecell_unet.py:48-59)."""
 
-    image_tags = ("input", "target")
+    image_tags = ("input", "target", "prediction")
 
     def make_train_step(self):
         return steps_lib.make_supervised_unet_step(
@@ -479,15 +540,18 @@ class UNetTrainer(Trainer):
             self.model, axis_name=self._axis_name
         )
 
+    def make_panel_fn(self):
+        return steps_lib.make_supervised_unet_panels(self.model)
+
     def init_params(self, key, example_batch):
         x = jnp.asarray(np.asarray(example_batch[0]))
         return self.model.init(key, x)["params"]
 
 
-class PUNetTrainer(_PUNetInitMixin, Trainer):
+class PUNetTrainer(_SampleGridPanelsMixin, _PUNetInitMixin, Trainer):
     """Supervised source PUNet training (reference punet_trainer.py:13-97)."""
 
-    image_tags = ("input", "target")
+    image_tags = ("input", "target", "samples")
 
     def make_train_step(self):
         return steps_lib.make_supervised_punet_step(
@@ -497,12 +561,15 @@ class PUNetTrainer(_PUNetInitMixin, Trainer):
     def make_val_step(self):
         return steps_lib.make_punet_val_step(self.model, axis_name=self._axis_name)
 
+    def make_panel_fn(self):
+        return steps_lib.make_punet_panels(self.model)
+
 
 class PseudoTrainer(Trainer):
     """UNet on fixed pseudo-labels + consensus masking
     (reference punet_target_trainer.py:12-67)."""
 
-    image_tags = ("input", "pseudo_labels", "consensus")
+    image_tags = ("input", "target", "prediction")
 
     def make_train_step(self):
         return steps_lib.make_pseudo_unet_step(
@@ -514,16 +581,19 @@ class PseudoTrainer(Trainer):
             self.model, axis_name=self._axis_name
         )
 
+    def make_panel_fn(self):
+        return steps_lib.make_pseudo_unet_panels(self.model)
+
     def init_params(self, key, example_batch):
         x = jnp.asarray(np.asarray(example_batch[0]))
         return self.model.init(key, x)["params"]
 
 
-class PseudoTrainerPUNet(_PUNetInitMixin, Trainer):
+class PseudoTrainerPUNet(_SampleGridPanelsMixin, _PUNetInitMixin, Trainer):
     """PUNet on precomputed pseudo-labels + consensus from disk
     (reference punet_target_trainer.py:92-183)."""
 
-    image_tags = ("input", "pseudo_labels", "consensus")
+    image_tags = ("input", "target", "samples")
 
     def make_train_step(self):
         return steps_lib.make_pseudo_punet_step(
@@ -535,12 +605,17 @@ class PseudoTrainerPUNet(_PUNetInitMixin, Trainer):
             self.model, axis_name=self._axis_name
         )
 
+    def make_panel_fn(self):
+        return steps_lib.make_pseudo_punet_panels(self.model)
+
 
 class MeanTeacherTrainer(_PUNetInitMixin, Trainer):
     """Separate-training mean teacher (reference mean_teacher_trainer.py)."""
 
     with_teacher = True
-    image_tags = ("input", "aug_inputs_1", "aug_inputs_2", "ground_truth")
+    image_tags = ("input", "aug_inputs_1", "aug_inputs_2",
+                  "teacher_predictions", "teacher_consensus", "ground_truth",
+                  "model_samples")
 
     def __init__(
         self,
@@ -573,6 +648,11 @@ class MeanTeacherTrainer(_PUNetInitMixin, Trainer):
             axis_name=self._axis_name,
         )
 
+    def make_panel_fn(self):
+        return steps_lib.make_mean_teacher_panels(
+            self.model, do_consensus_masking=self.do_consensus_masking
+        )
+
     def _post_initialize(self):
         # Warm-start student and teacher from the source checkpoint
         # (reference mean_teacher_trainer.py:44-50).
@@ -585,7 +665,9 @@ class MeanTeacherTrainer(_PUNetInitMixin, Trainer):
 class FixMatchTrainer(_PUNetInitMixin, Trainer):
     """Separate-training FixMatch (reference fixmatch_trainer.py)."""
 
-    image_tags = ("input", "weak_aug", "strong_aug", "ground_truth")
+    #: the reference FixMatchLogger writes ONE grid panel
+    #: (fixmatch_trainer.py:193-196)
+    image_tags = ("weak-strong-labels-pred",)
 
     def __init__(
         self,
@@ -615,6 +697,28 @@ class FixMatchTrainer(_PUNetInitMixin, Trainer):
             do_consensus_masking=self.do_consensus_masking,
             axis_name=self._axis_name,
         )
+
+    def make_panel_fn(self):
+        return steps_lib.make_fixmatch_panels(
+            self.model, do_consensus_masking=self.do_consensus_masking
+        )
+
+    def assemble_panels(self, raw: dict) -> dict:
+        # fixmatch_trainer.py:193-196: one make_grid(nrow=2, padding=8) of
+        # [normed weak, normed strong, pseudo-labels, prediction]
+        from .logging import _normalize, make_grid
+
+        grid = make_grid(
+            [
+                _normalize(np.asarray(raw["weak_aug"], np.float32)),
+                _normalize(np.asarray(raw["strong_aug"], np.float32)),
+                np.asarray(raw["pseudo_labels"], np.float32),
+                np.asarray(raw["prediction"], np.float32),
+            ],
+            nrow=2,
+            padding=8,
+        )
+        return {"weak-strong-labels-pred": grid}
 
     def _post_initialize(self):
         if self.ckpt_model is not None:
@@ -660,19 +764,32 @@ class _JointTrainer(_PUNetInitMixin, Trainer):
                 "the sample count, or no matching files)"
             ) from None
 
+    def panel_batch(self, batch):
+        # the reference joint loggers panel only the TARGET-side tensors
+        # (adamt_trainer.py:120-124 passes xt, xt1, xt2 at train time too);
+        # the 6-tuple train batch reduces to its target half, the 4-tuple
+        # val batch is already target-only
+        return batch[2:] if len(batch) == 6 else batch
+
 
 class AdaMTTrainer(_JointTrainer):
     """Joint mean teacher (reference adamt_trainer.py)."""
 
     with_teacher = True
-    image_tags = ("source_input", "source_labels", "target_input",
-                  "weak_aug", "strong_aug", "target_ground_truth")
+    image_tags = ("target_inputs", "weak_aug1", "weak_aug2",
+                  "teacher_predictions", "teacher_consensus",
+                  "target_ground_truth", "model_samples")
 
     def __init__(self, *args, momentum: float = 0.999,
                  do_consensus_masking: bool = False, **kwargs):
         super().__init__(*args, **kwargs)
         self.momentum = momentum
         self.do_consensus_masking = do_consensus_masking
+
+    def make_panel_fn(self):
+        return steps_lib.make_adamt_panels(
+            self.model, do_consensus_masking=self.do_consensus_masking
+        )
 
     def make_train_step(self):
         return steps_lib.make_adamt_step(
@@ -694,12 +811,18 @@ class AdaMTTrainer(_JointTrainer):
 class AdaMatchTrainer(_JointTrainer):
     """Joint FixMatch-style training, no teacher (reference adamatch_trainer.py)."""
 
-    image_tags = ("source_input", "source_labels", "target_input",
-                  "weak_aug", "strong_aug", "target_ground_truth")
+    image_tags = ("target_inputs", "weak_aug", "strong_aug",
+                  "weak_model_predictions", "weak_model_consensus",
+                  "target_ground_truth", "model_samples")
 
     def __init__(self, *args, do_consensus_masking: bool = False, **kwargs):
         super().__init__(*args, **kwargs)
         self.do_consensus_masking = do_consensus_masking
+
+    def make_panel_fn(self):
+        return steps_lib.make_adamatch_panels(
+            self.model, do_consensus_masking=self.do_consensus_masking
+        )
 
     def make_train_step(self):
         return steps_lib.make_adamatch_step(

@@ -100,6 +100,16 @@ class TrainLogger:
         if images:
             self._add_images("validation", step, images)
 
+    #: tags min-max normalized for display — exactly the raw-intensity input
+    #: views the reference loggers pass through ``_normalize_torch``
+    #: (mean_teacher_trainer.py:209-213, adamt_trainer.py:209-211 etc.);
+    #: pseudo-labels / consensus / predictions / sample grids are logged raw
+    NORMALIZED_TAGS = frozenset({
+        "input", "aug_inputs_1", "aug_inputs_2", "weak_aug", "weak_aug1",
+        "weak_aug2", "strong_aug", "target_input", "target_inputs",
+        "source_input",
+    })
+
     def _add_images(self, prefix: str, step: int, images: Mapping[str, np.ndarray]):
         for tag, img in images.items():
             img = np.asarray(img, dtype=np.float32)
@@ -109,7 +119,7 @@ class TrainLogger:
                 img = np.moveaxis(img, -1, 0)
             elif img.ndim == 2:
                 img = img[None]
-            norm = tag.startswith(("input", "aug", "weak", "strong", "target_input"))
+            norm = tag in self.NORMALIZED_TAGS
             self.tb.add_image(
                 f"{prefix}/{tag}", _normalize(img) if norm else img, step
             )
@@ -132,41 +142,48 @@ class TrainLogger:
 
 
 class PUNetLogger(TrainLogger):
-    """Reference punet_trainer.py:100-125."""
+    """Reference punet_trainer.py:100-125: input, target, 16-sample grid."""
 
-    image_tags = ("input", "target")
+    image_tags = ("input", "target", "samples")
 
 
 class PseudoLogger(TrainLogger):
-    """Reference punet_target_trainer.py:70-89 (UNet and PUNet variants)."""
+    """Reference punet_target_trainer.py:70-89 — torch_em's inherited
+    ``add_image`` (input/target/prediction); the PUNet variant trainer logs
+    a sample grid instead of the prediction."""
 
-    image_tags = ("input", "pseudo_labels", "consensus")
+    image_tags = ("input", "target", "prediction")
 
 
 class MeanTeacherLogger(TrainLogger):
-    """Reference mean_teacher_trainer.py:194-230."""
+    """Reference mean_teacher_trainer.py:205-217: input + both augmented
+    views, teacher pseudo-labels + consensus, ground truth, model MC mean."""
 
-    image_tags = ("input", "aug_inputs_1", "aug_inputs_2", "ground_truth")
+    image_tags = ("input", "aug_inputs_1", "aug_inputs_2",
+                  "teacher_predictions", "teacher_consensus", "ground_truth",
+                  "model_samples")
 
 
 class FixMatchLogger(TrainLogger):
-    """Reference fixmatch_trainer.py:163-212."""
+    """Reference fixmatch_trainer.py:193-196: ONE make_grid panel of
+    [weak, strong, pseudo-labels, prediction]."""
 
-    image_tags = ("input", "weak_aug", "strong_aug", "ground_truth")
+    image_tags = ("weak-strong-labels-pred",)
 
 
 class AdaMTLogger(TrainLogger):
-    """Reference adamt_trainer.py:192-228. Panel list matches the joint
-    trainers' batch tuple (engine.AdaMTTrainer.image_tags) — panels are
-    positional over the batch, so the lists must stay in lockstep."""
+    """Reference adamt_trainer.py:203-215 (the reference writes both weak
+    views under one colliding ``weak_aug1`` tag; they get distinct tags
+    here — see steps.make_adamt_panels)."""
 
-    image_tags = ("source_input", "source_labels", "target_input",
-                  "weak_aug", "strong_aug", "target_ground_truth")
+    image_tags = ("target_inputs", "weak_aug1", "weak_aug2",
+                  "teacher_predictions", "teacher_consensus",
+                  "target_ground_truth", "model_samples")
 
 
 class AdaMatchLogger(TrainLogger):
-    """Reference adamatch_trainer.py:172-207 (same panel note as
-    AdaMTLogger)."""
+    """Reference adamatch_trainer.py:183-196."""
 
-    image_tags = ("source_input", "source_labels", "target_input",
-                  "weak_aug", "strong_aug", "target_ground_truth")
+    image_tags = ("target_inputs", "weak_aug", "strong_aug",
+                  "weak_model_predictions", "weak_model_consensus",
+                  "target_ground_truth", "model_samples")

@@ -148,6 +148,20 @@ def _mc_pseudo(model, params, x, key, n_samples, masking, axis_name=None):
 
         y, z = mc_pseudo_fused(model, params, x, key, n_samples, masking)
         return jax.lax.stop_gradient(y), jax.lax.stop_gradient(z)
+    import os
+
+    if os.environ.get("PDA_MC_SCAN", "0") == "1" and axis_name is None:
+        # stream the sample axis: no (n, B, H, W, c) mid stacks in HBM
+        # (models/punet.py::mc_consensus_stream; equivalence-pinned)
+        from ..models.punet import mc_consensus_stream
+
+        params = jax.lax.stop_gradient(params)
+        enc = model.apply({"params": params}, x, method="encode")
+        y, z = mc_consensus_stream(
+            model, params, enc.features, enc.prior, key, n_samples,
+            masking=masking,
+        )
+        return jax.lax.stop_gradient(y), jax.lax.stop_gradient(z)
     params = jax.lax.stop_gradient(params)
     enc = model.apply({"params": params}, x, method="encode")
     logits = mc_decode_logits(
@@ -636,3 +650,200 @@ def make_supervised_unet_val_step(model, *, axis_name=None):
         return state, {"loss": loss, "metric": loss}
 
     return step
+
+
+# ---------------------------------------------------------------------------
+# TB image panels — the reference loggers' in-graph tensors
+# ---------------------------------------------------------------------------
+#
+# Each factory returns a jittable ``panels(params, teacher_params, rng,
+# *batch) -> dict[tag, array]`` producing the IMAGE TENSORS the matching
+# reference logger puts on TensorBoard (pseudo-labels, consensus masks, MC
+# samples, predictions — not just the input batch). The engine runs these in
+# a SEPARATE forward-only program at ``log_image_interval`` steps on the
+# first batch element only, so the hot train step is untouched; the panel
+# tensors are recomputed with a panel-local RNG fold rather than smuggled out
+# of the train step (statistically identical QC content, zero hot-path cost).
+
+
+def _panel_keys(rng, n=3):
+    return jax.random.split(jax.random.fold_in(rng, 0x9A7E15), n)
+
+
+def _mc_sample_logits(model, params, x, key, n_samples):
+    """n raw-logit prior samples (reference punet_trainer.py:15-17
+    ``_sample``: ``[self.model.sample() for _ in range(n_samples)]``)."""
+    params = jax.lax.stop_gradient(params)
+    enc = model.apply({"params": params}, x, method="encode")
+    return mc_decode_logits(
+        model, params, enc.features, enc.prior, key, n_samples
+    )
+
+
+def make_punet_panels(model: ProbabilisticUnet, n_samples: int = 16):
+    """PUNetLogger.add_image panel set (punet_trainer.py:110-114): input,
+    target, and 16 raw prior samples (gridded host-side with
+    ``make_grid(nrow=4, padding=4)``)."""
+
+    def panels(params, teacher_params, rng, x, y):
+        (k,) = _panel_keys(rng, 1)
+        s = _mc_sample_logits(model, params, x[:1], k, n_samples)
+        return {"input": x[0], "target": y[0], "samples": s[:, 0]}
+
+    return panels
+
+
+def make_pseudo_unet_panels(model):
+    """PseudoLogger (UNet variant) panel set — torch_em TensorboardLogger
+    ``add_image`` inherited by the reference's PseudoLogger
+    (punet_target_trainer.py:80-89): input, target, prediction."""
+
+    def panels(params, teacher_params, rng, x, y, z):
+        pred = model.apply({"params": params}, x[:1])
+        return {"input": x[0], "target": y[0], "prediction": pred[0]}
+
+    return panels
+
+
+def make_pseudo_punet_panels(model: ProbabilisticUnet, n_samples: int = 16):
+    """PseudoTrainerPUNet logging (punet_target_trainer.py:120-124): input,
+    target, and the ``_sample(16)`` grid (punet_target_trainer.py:95-97)."""
+
+    def panels(params, teacher_params, rng, x, y, z):
+        (k,) = _panel_keys(rng, 1)
+        s = _mc_sample_logits(model, params, x[:1], k, n_samples)
+        return {"input": x[0], "target": y[0], "samples": s[:, 0]}
+
+    return panels
+
+
+def make_mean_teacher_panels(
+    model: ProbabilisticUnet,
+    *,
+    do_consensus_masking: bool = False,
+    n_samples: int = N_MC_TRAIN,
+):
+    """MeanTeacherLogger.add_image panel set (mean_teacher_trainer.py:205-217):
+    input, both augmented views, teacher pseudo-labels y, teacher consensus z,
+    ground truth, and the model's MC mean-sigmoid prediction
+    (``sample_from_model``, mean_teacher_trainer.py:90-93)."""
+
+    def panels(params, teacher_params, rng, x, x1, x2, gt):
+        k_t, k_m = _panel_keys(rng, 2)
+        y, z = _mc_pseudo(
+            model, teacher_params, x1[:1], k_t, n_samples,
+            do_consensus_masking, None,
+        )
+        pred = _mc_mean_probs(model, params, x2[:1], k_m, n_samples)
+        return {
+            "input": x[0],
+            "aug_inputs_1": x1[0],
+            "aug_inputs_2": x2[0],
+            "teacher_predictions": y[0],
+            "teacher_consensus": z[0],
+            "ground_truth": gt[0],
+            "model_samples": pred[0],
+        }
+
+    return panels
+
+
+def make_fixmatch_panels(
+    model: ProbabilisticUnet,
+    *,
+    do_consensus_masking: bool = False,
+    n_samples: int = N_MC_TRAIN,
+):
+    """FixMatchLogger.add_image components (fixmatch_trainer.py:174-196):
+    the reference logs ONE ``weak-strong-labels-pred`` grid of
+    [normed weak view, normed strong view, pseudo-labels, prediction]
+    (``make_grid(nrow=2, padding=8)``); the four component images are
+    returned here and gridded host-side by the trainer."""
+
+    def panels(params, teacher_params, rng, x, x1, x2, gt):
+        k_w, k_m = _panel_keys(rng, 2)
+        y, z = _mc_pseudo(
+            model, params, x1[:1], k_w, n_samples, do_consensus_masking, None
+        )
+        pred = _mc_mean_probs(model, params, x2[:1], k_m, n_samples)
+        return {
+            "weak_aug": x1[0],
+            "strong_aug": x2[0],
+            "pseudo_labels": y[0],
+            "prediction": pred[0],
+        }
+
+    return panels
+
+
+def make_adamt_panels(
+    model: ProbabilisticUnet,
+    *,
+    do_consensus_masking: bool = False,
+    n_samples: int = N_MC_TRAIN,
+):
+    """AdaMTLogger.add_image panel set (adamt_trainer.py:203-215): target
+    inputs, both weak views, teacher pseudo y, teacher consensus z, target
+    ground truth, model MC mean prediction. The reference writes both weak
+    views under ONE tag (``weak_aug1`` twice — a tag collision that leaves
+    only xt2 visible); here they get distinct ``weak_aug1``/``weak_aug2``
+    tags so neither panel is lost."""
+
+    def panels(params, teacher_params, rng, xt, xt1, xt2, yt):
+        k_t, k_m = _panel_keys(rng, 2)
+        y, z = _mc_pseudo(
+            model, teacher_params, xt1[:1], k_t, n_samples,
+            do_consensus_masking, None,
+        )
+        pred = _mc_mean_probs(model, params, xt2[:1], k_m, n_samples)
+        return {
+            "target_inputs": xt[0],
+            "weak_aug1": xt1[0],
+            "weak_aug2": xt2[0],
+            "teacher_predictions": y[0],
+            "teacher_consensus": z[0],
+            "target_ground_truth": yt[0],
+            "model_samples": pred[0],
+        }
+
+    return panels
+
+
+def make_adamatch_panels(
+    model: ProbabilisticUnet,
+    *,
+    do_consensus_masking: bool = False,
+    n_samples: int = N_MC_TRAIN,
+):
+    """AdaMatchLogger.add_image panel set (adamatch_trainer.py:183-196):
+    target inputs, weak/strong views, weak-model pseudo y + consensus z,
+    target ground truth, model MC mean prediction."""
+
+    def panels(params, teacher_params, rng, xt, xt1, xt2, yt):
+        k_w, k_m = _panel_keys(rng, 2)
+        y, z = _mc_pseudo(
+            model, params, xt1[:1], k_w, n_samples, do_consensus_masking, None
+        )
+        pred = _mc_mean_probs(model, params, xt2[:1], k_m, n_samples)
+        return {
+            "target_inputs": xt[0],
+            "weak_aug": xt1[0],
+            "strong_aug": xt2[0],
+            "weak_model_predictions": y[0],
+            "weak_model_consensus": z[0],
+            "target_ground_truth": yt[0],
+            "model_samples": pred[0],
+        }
+
+    return panels
+
+
+def make_supervised_unet_panels(model):
+    """torch_em TensorboardLogger.add_image equivalent for the plain UNet
+    trainer: input, target, prediction."""
+
+    def panels(params, teacher_params, rng, x, y):
+        pred = model.apply({"params": params}, x[:1])
+        return {"input": x[0], "target": y[0], "prediction": pred[0]}
+
+    return panels
