@@ -51,23 +51,27 @@ def _gsum(x: jax.Array, axis_name) -> jax.Array:
     satisfy vma inference, jax 0.9) the transpose of ``psum`` is ``psum``,
     which silently scales gradients by the shard count.
     """
-    if axis_name is None:
+    axes = _axes(axis_name)
+    if axes is None:
         return x
-    return jax.lax.stop_gradient(jax.lax.psum(x, axis_name)) + (
+    return jax.lax.stop_gradient(jax.lax.psum(x, axes)) + (
         x - jax.lax.stop_gradient(x)
     )
 
 
-def _gmean(x: jax.Array, axis_name: Optional[str]) -> jax.Array:
+def _gmean(x: jax.Array, axis_name) -> jax.Array:
     """Global-batch mean (equal shard sizes assumed, which shard_map's even
     partitioning guarantees). Same value-global/gradient-local construction
     as :func:`_gsum`: the local term carries 1/n of the gradient, matching
     d(global mean)/d(local element) = 1/(n * local_count)."""
     m = jnp.mean(x)
-    if axis_name is None:
+    axes = _axes(axis_name)
+    if axes is None:
         return m
-    n = jax.lax.axis_size(axis_name)
-    return jax.lax.stop_gradient(jax.lax.pmean(m, axis_name)) + (
+    n = 1
+    for a in axes:
+        n *= jax.lax.axis_size(a)
+    return jax.lax.stop_gradient(jax.lax.pmean(m, axes)) + (
         m - jax.lax.stop_gradient(m)
     ) / n
 
@@ -150,6 +154,7 @@ def neg_elbo(
     analytic_kl: bool = True,
     z_posterior: Optional[jax.Array] = None,
     axis_name: Optional[str] = None,
+    space_axis: Optional[str] = None,
 ):
     """Negative evidence lower bound, exactly as the reference computes it.
 
@@ -168,6 +173,12 @@ def neg_elbo(
 
     Returns (neg_elbo, aux) where aux carries the recon/kl pieces for logging.
     """
+    # Per-image reductions (KL mean over the batch) cross only the BATCH
+    # shards — row shards hold identical per-image stats (the encoders'
+    # pooled mean is already space-global), so including the space axis
+    # would double-divide the gradient. Pixel-level sums (recon) cross both.
+    recon_axes = (_axes(axis_name) or ()) + (_axes(space_axis) or ())
+    recon_axes = recon_axes or None
     if analytic_kl:
         kl = _gmean(kl_divergence(posterior, prior), axis_name)
     else:
@@ -184,9 +195,24 @@ def neg_elbo(
         seg_in = segm
 
     if rl_swap:
-        recon = dice_loss_with_logits(rec_in, seg_in, axis_name=axis_name)
+        recon = dice_loss_with_logits(rec_in, seg_in, axis_name=recon_axes)
     else:
-        recon = _gsum(jnp.sum(bce_with_logits(rec_in, seg_in)), axis_name)
+        recon = _gsum(jnp.sum(bce_with_logits(rec_in, seg_in)), recon_axes)
 
-    out = recon + beta * kl
+    kl_term = kl
+    if space_axis is not None:
+        # The KL is computed REDUNDANTLY on every row shard (its pooled
+        # Gaussian stats are space-global); the outer gradient psum over
+        # the space axis would count it n_space times, so the objective
+        # carries gradient kl' / n_space while the VALUE stays kl (the
+        # same stop_gradient construction as _gsum). Pairs with the real
+        # differentiated pmean in blocks.global_mean_rows_sharded.
+        ns = 1
+        for a in _axes(space_axis):
+            ns *= jax.lax.axis_size(a)
+        kl_term = jax.lax.stop_gradient(kl) + (
+            kl - jax.lax.stop_gradient(kl)
+        ) / ns
+
+    out = recon + beta * kl_term
     return out, {"recon_loss": recon, "kl": kl}

@@ -386,14 +386,24 @@ def upsample_2x_align_corners_sharded(x: jax.Array, axis_name: str) -> jax.Array
 
 
 def global_mean_rows_sharded(x_mean_local: jax.Array, axis_name: str) -> jax.Array:
-    """Global spatial mean from per-shard means over row shards: value is
-    the exact global mean (pmean), gradient is the local 1/n contribution —
-    the same value-global/gradient-local construction as
-    ``pda.core.losses._gsum`` (the outer gradient psum reassembles it)."""
-    n = jax.lax.axis_size(axis_name)
-    return jax.lax.stop_gradient(
-        jax.lax.pmean(x_mean_local, axis_name)
-    ) + (x_mean_local - jax.lax.stop_gradient(x_mean_local)) / n
+    """Global spatial mean over row shards — a REAL differentiated pmean.
+
+    Unlike the losses' value-global/gradient-local ``_gsum`` trick (which
+    serves terms consumed once per shard), the pooled Gaussian stats feed
+    BOTH replicated consumers (the KL, the latent draw) and row-sharded
+    consumers (the reconstruction via z): correctness requires the pooled
+    value's cotangents to be GATHERED across row shards before flowing back
+    into each shard's rows. ``pmean``'s transpose under shard_map's legacy
+    (check_vma=False) rules is ``psum(ct)/n`` — exactly that gather. Each
+    shard's conv gradients then carry <psum(ct)/n, d m_s/dθ>, and the outer
+    gradient psum over ``space`` reassembles <ct, d(global mean)/dθ>
+    exactly; replicated objective terms (the KL) must additionally scale
+    their gradient by 1/n_space (``pda.core.losses.neg_elbo``) so the same
+    psum counts them once. Pinned by
+    tests/test_parallel.py::TestSpatialShardMap (full-step parameter
+    equality); if a JAX upgrade changes the legacy psum transpose, those
+    pins fail loudly."""
+    return jax.lax.pmean(x_mean_local, axis_name)
 
 
 def pallas_conv_enabled() -> bool:

@@ -202,6 +202,13 @@ class UNet2d(nn.Module):
 
     @nn.compact
     def __call__(self, x: jax.Array) -> jax.Array:
+        from .blocks import space_axis
+
+        assert space_axis() is None, (
+            "UNet2d has no halo-exchange path (its half-pixel bilinear "
+            "upsample and 2-conv blocks are not row-shard aware); run "
+            "spatial meshes through PDA_DP_IMPL=gspmd for this model"
+        )
         feats = [self.initial_features * self.gain**i for i in range(self.depth + 1)]
 
         skips = []

@@ -12,15 +12,19 @@ for this conv workload.
 
 Spatial parallelism for TRAINING is the second optional axis: a 2-D
 (``data``, ``space``) mesh shards image rows (the H axis of NHWC batches)
-over ``space``. The convs/pools stay ordinary XLA ops, so the SPMD
-partitioner inserts the stencil halo exchanges (collective-permutes of the
-1-row borders per 3x3 conv) and the global-pool psums automatically — the
-shardings are the whole API, there is no hand-written halo code to get wrong.
-Use it when the spatial extent, not the batch, is the scaling axis (whole
-EM frames at train time). The fused Pallas kernels are opaque custom calls
-the partitioner cannot split spatially, so spatial training runs the plain
-XLA conv path (the trainer pins ``PDA_PALLAS_CONV=0`` while fit/validate
-trace on a mesh with a ``space`` axis, and restores it afterwards).
+over ``space``. The DEFAULT path runs the whole step inside ``jax.shard_map``
+with EXPLICIT halo exchange: each conv block extends its row shard with
+``jax.lax.ppermute``-ed boundary rows from the neighbors, runs the fused
+Pallas kernels per shard, and crops (``pda.models.blocks._conv3_space_sharded``);
+the align-corners upsample exchanges one boundary row and applies a sliced
+interpolation matrix; the encoders' global pooling and the loss reductions
+psum across the row shards (steps ``_with_space``). Equality with the
+single-device step is pinned (tests/test_parallel.py::TestSpatialShardMap).
+Use it when the spatial extent, not the batch, is the scaling axis (whole EM
+frames at train time). ``PDA_DP_IMPL=gspmd`` restores the partitioner path
+(plain XLA convs, the trainer pins ``PDA_PALLAS_CONV=0`` while tracing) —
+needed when row shards are too small for the halo machinery (the shard_map
+path raises with the required minimum).
 """
 
 from __future__ import annotations

@@ -35,7 +35,13 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
-from ..parallel.mesh import DATA_AXIS, batch_sharding, replicated, shard_batch
+from ..parallel.mesh import (
+    DATA_AXIS,
+    SPACE_AXIS,
+    batch_sharding,
+    replicated,
+    shard_batch,
+)
 from . import steps as steps_lib
 from .checkpoint import (
     BEST,
@@ -167,19 +173,22 @@ class Trainer:
             ) from None
 
     def _dp_shard_map(self) -> bool:
-        """Run steps through ``jax.shard_map`` (manual SPMD) for data
-        parallelism? True on a multi-device 1-D ``data`` mesh unless
-        ``PDA_DP_IMPL=gspmd``. Manual mode keeps the fused Pallas conv kernels
-        alive per shard (GSPMD cannot partition the opaque custom calls and
-        would replicate their operands); the step factories' ``axis_name``
-        psums make the sharded step equal the single-device step exactly.
-        The 2-D (data, space) mesh stays on GSPMD — the spatial halo
-        exchanges are the partitioner's job (pda/parallel/mesh.py).
+        """Run steps through ``jax.shard_map`` (manual SPMD)? True on any
+        multi-device ``data`` or ``(data, space)`` mesh unless
+        ``PDA_DP_IMPL=gspmd``. Manual mode keeps the fused Pallas conv
+        kernels alive per shard (GSPMD cannot partition the opaque custom
+        calls and would replicate their operands); the step factories'
+        ``axis_name`` psums make the sharded step equal the single-device
+        step exactly. On a ``space`` axis the conv blocks exchange explicit
+        row halos via ``jax.lax.ppermute``
+        (pda.models.blocks._conv3_space_sharded).
         """
         return (
             self.mesh is not None
             and self.mesh.devices.size > 1
-            and tuple(self.mesh.axis_names) == (DATA_AXIS,)
+            and tuple(self.mesh.axis_names) in (
+                (DATA_AXIS,), (DATA_AXIS, SPACE_AXIS),
+            )
             and os.environ.get("PDA_DP_IMPL", "shard_map") != "gspmd"
         )
 
@@ -188,27 +197,59 @@ class Trainer:
         """Mesh axis the step functions psum over (None outside shard_map)."""
         return DATA_AXIS if self._dp_shard_map() else None
 
+    @property
+    def _space_axis_name(self) -> Optional[str]:
+        """Row-sharding axis on a (data, space) shard_map mesh."""
+        if self._dp_shard_map() and SPACE_AXIS in self.mesh.axis_names:
+            return SPACE_AXIS
+        return None
+
+    @contextmanager
+    def _space_ctx(self):
+        """Activate the trace-time row-sharding context while a shard_map
+        step traces on a (data, space) mesh: ConvBlock/UpBlock/encoders
+        switch to the halo-exchange image path and the loss/metric psums
+        include the space axis (steps._with_space)."""
+        sp = self._space_axis_name
+        if sp is None:
+            yield
+            return
+        from ..models.blocks import space_sharding
+
+        with space_sharding(sp):
+            yield
+
     def _wrap_step(self, step, *, donate: bool):
         """Jit a step; on the shard_map path, wrap it per batch arity
         (train/val tuples differ) with batch leaves sharded over ``data``
-        and state/metrics replicated.
+        (and image rows over ``space`` on a 2-D mesh), state/metrics
+        replicated.
 
         ``check_vma=False`` is required: the Pallas kernels cannot satisfy
         vma inference (jax 0.9). Gradient correctness under the legacy
-        transpose rules is guaranteed by construction instead — the losses
-        never differentiate a collective (``pda.core.losses._gsum``), so
-        each shard's gradient is its exact local contribution and the
-        ``psum`` in ``steps._apply_updates`` reassembles the single-device
-        gradient (pinned by tests/test_parallel.py::TestShardMapDP)."""
+        transpose rules is guaranteed by construction instead — the batch
+        losses never differentiate a psum (``pda.core.losses._gsum``); the
+        spatial path differentiates exactly two collective kinds whose
+        legacy transposes are correct for their use: halo/boundary
+        ppermutes (transpose = inverse permutation) and the encoders'
+        pooled-stats pmean (transpose = psum/n, the required cotangent
+        gather — ``blocks.global_mean_rows_sharded``). Each shard's
+        gradient is then its exact local contribution and the ``psum`` in
+        ``steps._apply_updates`` reassembles the single-device gradient
+        (pinned by tests/test_parallel.py::TestShardMapDP /
+        TestSpatialShardMap)."""
         if not self._dp_shard_map():
             return jax.jit(step, donate_argnums=0) if donate else jax.jit(step)
         from jax.sharding import PartitionSpec as P
 
+        space = self._space_axis_name
         cache: dict = {}
 
         def call(state, *batch):
             specs = tuple(
-                P(DATA_AXIS) if np.ndim(b) > 0 else P() for b in batch
+                P(DATA_AXIS, space) if (space and np.ndim(b) >= 3)
+                else (P(DATA_AXIS) if np.ndim(b) > 0 else P())
+                for b in batch
             )
             if specs not in cache:
                 sm = jax.shard_map(
@@ -218,9 +259,15 @@ class Trainer:
                     out_specs=(P(), P()),
                     check_vma=False,
                 )
-                cache[specs] = (
+                jitted = (
                     jax.jit(sm, donate_argnums=0) if donate else jax.jit(sm)
                 )
+
+                def traced(*args, _f=jitted):
+                    with self._space_ctx():
+                        return _f(*args)
+
+                cache[specs] = traced
             return cache[specs](state, *batch)
 
         return call

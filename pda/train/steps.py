@@ -52,6 +52,27 @@ N_MC_VAL = 8  # reference: punet_trainer.py:70
 # ---------------------------------------------------------------------------
 
 
+def _space():
+    """Row-sharding axis declared by the engine's trace-time context
+    (pda.models.blocks.space_sharding) on a 2-D (data, space) shard_map
+    mesh; None otherwise. Read at trace time, like the conv-path pins."""
+    from ..models.blocks import space_axis
+
+    return space_axis()
+
+
+def _with_space(axis_name):
+    """Axis spec for PIXEL-level reductions: the batch axis plus, under row
+    sharding, the space axis (per-image reductions keep ``axis_name`` alone —
+    row shards carry identical per-image stats)."""
+    sp = _space()
+    if sp is None:
+        return axis_name
+    if axis_name is None:
+        return (sp,)
+    return (axis_name, sp) if isinstance(axis_name, str) else (*axis_name, sp)
+
+
 def _punet_loss(
     model: ProbabilisticUnet, params, x, segm, key, consm=None, axis_name=None,
     reconstruct_posterior_mean: bool = False,
@@ -99,13 +120,17 @@ def _punet_loss(
         analytic_kl=getattr(model, "analytic_kl", True),
         z_posterior=z_post,
         axis_name=axis_name,
+        space_axis=_space(),
     )
     reg = punet_l2_reg(params)
     loss = nelbo + REG_WEIGHT * reg
     aux = {"loss": loss, **aux}
-    if axis_name is None:
+    all_axes = _with_space(axis_name)
+    if all_axes is None:
         return loss, aux
-    n = jax.lax.axis_size(axis_name)
+    n = 1
+    for a in ((all_axes,) if isinstance(all_axes, str) else all_axes):
+        n *= jax.lax.axis_size(a)
     return nelbo + (REG_WEIGHT / n) * reg, aux
 
 
@@ -184,11 +209,13 @@ def _mc_mean_probs(model, params, x, key, n_samples, axis_name=None):
 
 
 def _apply_updates(tx, state: TrainState, grads, rng, axis_name=None) -> TrainState:
-    if axis_name is not None:
-        # each shard holds its local-data contribution to the global-batch
-        # gradient (the loss psums run in the forward); sum them so every
-        # shard applies the exact single-device update
-        grads = jax.lax.psum(grads, axis_name)
+    all_axes = _with_space(axis_name)
+    if all_axes is not None:
+        # each shard holds its local-data (and, row-sharded, local-rows)
+        # contribution to the global-batch gradient (the loss psums run in
+        # the forward); sum them so every shard applies the exact
+        # single-device update
+        grads = jax.lax.psum(grads, all_axes)
     updates, opt_state = tx.update(grads, state.opt_state, state.params)
     params = optax.apply_updates(state.params, updates)
     return state.replace(
@@ -234,7 +261,7 @@ def make_punet_val_step(
         rng, k_post, k_mc = jax.random.split(state.rng, 3)
         _, aux = _punet_loss(model, state.params, x, y, k_post, axis_name=axis_name)
         pred = _mc_mean_probs(model, state.params, x, k_mc, n_samples, axis_name)
-        dice = dice_score_jnp(pred, y, axis_name=axis_name)
+        dice = dice_score_jnp(pred, y, axis_name=_with_space(axis_name))
         state = state.replace(rng=rng)
         return state, {"loss": aux["loss"], "dice": dice, "metric": 1.0 - dice}
 
@@ -255,7 +282,7 @@ def make_pseudo_unet_step(model, tx, *, axis_name=None):
 
         def loss_fn(params):
             pred = model.apply({"params": params}, x)
-            return dice_loss(pred * z, y * z, axis_name=axis_name)
+            return dice_loss(pred * z, y * z, axis_name=_with_space(axis_name))
 
         loss, grads = jax.value_and_grad(loss_fn)(state.params)
         state = _apply_updates(tx, state, grads, rng, axis_name)
@@ -267,7 +294,7 @@ def make_pseudo_unet_step(model, tx, *, axis_name=None):
 def make_pseudo_unet_val_step(model, *, axis_name=None):
     def step(state: TrainState, x, y, z):
         pred = model.apply({"params": state.params}, x)
-        loss = dice_loss(pred * z, y * z, axis_name=axis_name)
+        loss = dice_loss(pred * z, y * z, axis_name=_with_space(axis_name))
         return state, {"loss": loss, "metric": loss}
 
     return step
@@ -303,7 +330,7 @@ def make_pseudo_punet_val_step(
             model, state.params, x, y, k_post, consm=z, axis_name=axis_name
         )
         pred = _mc_mean_probs(model, state.params, x, k_mc, n_samples, axis_name)
-        dice = dice_score_jnp(pred, y, axis_name=axis_name)
+        dice = dice_score_jnp(pred, y, axis_name=_with_space(axis_name))
         state = state.replace(rng=rng)
         return state, {"loss": aux["loss"], "dice": dice, "metric": 1.0 - dice}
 
@@ -374,8 +401,8 @@ def make_mean_teacher_val_step(
             model, state.params, x2, y, k_post, consm=z, axis_name=axis_name
         )
         pred = _mc_mean_probs(model, state.params, x2, k_mc, n_samples, axis_name)
-        dice = dice_score_jnp(pred, y, axis_name=axis_name)
-        gt_dice = dice_score_jnp(pred, gt, axis_name=axis_name)
+        dice = dice_score_jnp(pred, y, axis_name=_with_space(axis_name))
+        gt_dice = dice_score_jnp(pred, gt, axis_name=_with_space(axis_name))
         state = state.replace(rng=rng)
         return state, {
             "loss": aux["loss"],
@@ -415,7 +442,8 @@ def make_fixmatch_step(
 
         if source_distribution is not None:
             y, ratio = distribution_alignment(
-                y, jnp.asarray(source_distribution), axis_name=axis_name
+                y, jnp.asarray(source_distribution),
+                axis_name=_with_space(axis_name),
             )
         else:
             ratio = jnp.zeros((2,))
@@ -455,8 +483,8 @@ def make_fixmatch_val_step(
             model, state.params, x2, y, k_post, consm=z, axis_name=axis_name
         )
         pred = _mc_mean_probs(model, state.params, x2, k_mc, n_samples, axis_name)
-        dice = dice_score_jnp(pred, y, axis_name=axis_name)
-        gt_dice = dice_score_jnp(pred, gt, axis_name=axis_name)
+        dice = dice_score_jnp(pred, y, axis_name=_with_space(axis_name))
+        gt_dice = dice_score_jnp(pred, gt, axis_name=_with_space(axis_name))
         state = state.replace(rng=rng)
         return state, {
             "loss": aux["loss"],
@@ -535,8 +563,8 @@ def make_adamt_val_step(
             model, state.params, xt2, y, k_post, consm=z, axis_name=axis_name
         )
         pred = _mc_mean_probs(model, state.params, xt2, k_mc, n_samples, axis_name)
-        dice = dice_score_jnp(pred, y, axis_name=axis_name)
-        gt_dice = dice_score_jnp(pred, yt, axis_name=axis_name)
+        dice = dice_score_jnp(pred, y, axis_name=_with_space(axis_name))
+        gt_dice = dice_score_jnp(pred, yt, axis_name=_with_space(axis_name))
         state = state.replace(rng=rng)
         return state, {
             "loss": aux["loss"],
@@ -606,8 +634,8 @@ def make_adamatch_val_step(
             model, state.params, xt2, y, k_post, consm=z, axis_name=axis_name
         )
         pred = _mc_mean_probs(model, state.params, xt2, k_mc, n_samples, axis_name)
-        dice = dice_score_jnp(pred, y, axis_name=axis_name)
-        gt_dice = dice_score_jnp(pred, yt, axis_name=axis_name)
+        dice = dice_score_jnp(pred, y, axis_name=_with_space(axis_name))
+        gt_dice = dice_score_jnp(pred, yt, axis_name=_with_space(axis_name))
         state = state.replace(rng=rng)
         return state, {
             "loss": aux["loss"],
@@ -634,7 +662,7 @@ def make_supervised_unet_step(model, tx, *, axis_name=None):
 
         def loss_fn(params):
             pred = model.apply({"params": params}, x)
-            return dice_loss(pred, y, axis_name=axis_name)
+            return dice_loss(pred, y, axis_name=_with_space(axis_name))
 
         loss, grads = jax.value_and_grad(loss_fn)(state.params)
         state = _apply_updates(tx, state, grads, rng, axis_name)
@@ -646,7 +674,7 @@ def make_supervised_unet_step(model, tx, *, axis_name=None):
 def make_supervised_unet_val_step(model, *, axis_name=None):
     def step(state: TrainState, x, y):
         pred = model.apply({"params": state.params}, x)
-        loss = dice_loss(pred, y, axis_name=axis_name)
+        loss = dice_loss(pred, y, axis_name=_with_space(axis_name))
         return state, {"loss": loss, "metric": loss}
 
     return step

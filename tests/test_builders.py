@@ -7,6 +7,8 @@ import os
 import numpy as np
 import pytest
 
+pytestmark = pytest.mark.slow  # multi-minute suite; default run skips, use --runslow
+
 from pda.data.builders.coco import (
     COCOIndex,
     polygons_to_mask,

@@ -9,6 +9,8 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 import pytest
+
+pytestmark = pytest.mark.slow  # multi-minute suite; default run skips, use --runslow
 from jax.experimental.pallas import tpu as pltpu
 
 from pda.models import ProbabilisticUnet
@@ -264,5 +266,38 @@ class TestPoolMatmulForm:
 
         a = run("0")
         b = run("1")
+        for u, v in zip(a, b):
+            np.testing.assert_allclose(u, v, atol=1e-5)
+
+
+class TestUnpackMatmulForm:
+    def test_unpack_mm_matches_relayout_form(self, monkeypatch):
+        """PDA_UNPACK_MM (matmul-formulated packed-flat -> image unpack) is
+        numerically identical to the default relayout reshape, values and
+        gradients, at a c>=64 geometry (the knob's eligibility gate) —
+        the KNOBS.md-claimed equivalence pin (ADVICE r3 low #4)."""
+        import jax
+        import jax.numpy as jnp
+
+        from pda.models import flat_ops
+
+        rng = np.random.default_rng(1)
+        h, w, c = 16, 24, 64
+        x = jnp.asarray(rng.normal(size=(2, h, w, c)).astype(np.float32))
+        xfp = flat_ops.to_flat_packed(x)
+
+        def run(flag):
+            monkeypatch.setenv("PDA_UNPACK_MM", flag)
+            f = lambda a: jnp.sum(  # noqa: E731
+                flat_ops.from_flat_packed(a, h, w) ** 2
+            )
+            return (
+                np.asarray(flat_ops.from_flat_packed(xfp, h, w)),
+                np.asarray(jax.grad(f)(xfp)),
+            )
+
+        a = run("0")
+        b = run("1")
+        np.testing.assert_array_equal(a[0].shape, x.shape)
         for u, v in zip(a, b):
             np.testing.assert_allclose(u, v, atol=1e-5)

@@ -6,6 +6,8 @@ import jax.numpy as jnp
 import numpy as np
 import pytest
 
+pytestmark = pytest.mark.slow  # multi-minute suite; default run skips, use --runslow
+
 from pda.core import consensus_from_logits
 from pda.models import ProbabilisticUnet
 from pda.models.punet import mc_decode_logits

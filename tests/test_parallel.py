@@ -10,6 +10,8 @@ import jax.numpy as jnp
 import numpy as np
 import pytest
 
+pytestmark = pytest.mark.slow  # multi-minute suite; default run skips, use --runslow
+
 from pda.models import ProbabilisticUnet
 from pda.parallel import (
     batch_sharding,
@@ -480,9 +482,13 @@ class TestTrainerOnMesh:
         assert np.isfinite(m["loss"])
         assert os.path.exists(tmp_path / "checkpoints" / "mesh-trainer" / "latest.ckpt")
 
-    def test_trainer_fit_with_spatial_mesh(self, tmp_path, monkeypatch):
-        """Trainer over a 2-D (data, space) mesh: rows sharded through fit/
-        validate, and the engine pins the XLA conv path (engine.py guard)."""
+    def test_trainer_fit_with_spatial_mesh_gspmd(self, tmp_path, monkeypatch):
+        """Trainer over a 2-D (data, space) mesh on the GSPMD fallback
+        (PDA_DP_IMPL=gspmd): rows sharded through fit/validate via the
+        partitioner, and the engine pins the XLA conv path (engine.py
+        guard). The default 2-D path is shard_map with explicit halos —
+        TestSpatialShardMap — which needs larger row shards than these
+        32x32 patches allow."""
         import os
 
         from pda.data import ImageCollectionDataset, Loader
@@ -490,6 +496,7 @@ class TestTrainerOnMesh:
         from pda.train import PUNetTrainer
 
         monkeypatch.delenv("PDA_PALLAS_CONV", raising=False)
+        monkeypatch.setenv("PDA_DP_IMPL", "gspmd")
         raws, labels = make_dataset_arrays(8, (64, 64))
         ds = ImageCollectionDataset(raws, labels, patch_shape=(32, 32))
         t = PUNetTrainer(
@@ -504,3 +511,151 @@ class TestTrainerOnMesh:
         assert "PDA_PALLAS_CONV" not in os.environ
         assert np.isfinite(m["loss"])
         assert os.path.exists(tmp_path / "checkpoints" / "space-trainer" / "latest.ckpt")
+
+
+class TestSpatialShardMap:
+    """Default 2-D (data, space) path: manual shard_map with EXPLICIT halo
+    exchange (jax.lax.ppermute of boundary rows per conv block,
+    pda.models.blocks._conv3_space_sharded) — the conv kernels run per
+    shard instead of being pinned off for the GSPMD partitioner (VERDICT r3
+    next-round item 4). Pins: the row-sharded step reproduces the
+    single-device step — loss AND updated params — including the
+    align-corners upsample (1-row halo + sliced interpolation matrix), the
+    encoders' global mean (space pmean), and the global-boundary edge fix.
+
+    Rows per shard must cover the halo machinery: H=160 / space=2 keeps the
+    deepest level at 10 local rows (>= strip minimum 9).
+    """
+
+    H, W = 160, 64
+
+    def _batch(self, n=4):
+        rng = np.random.default_rng(3)
+        x = rng.normal(size=(n, self.H, self.W, 1)).astype(np.float32)
+        y = (rng.random((n, self.H, self.W, 1)) > 0.5).astype(np.float32)
+        return x, y
+
+    def _sharded(self, mesh, step, n_batch):
+        from jax.sharding import PartitionSpec as P
+
+        from pda.models.blocks import space_sharding
+
+        sm = jax.jit(
+            jax.shard_map(
+                step,
+                mesh=mesh,
+                in_specs=(P(), *([P("data", "space")] * n_batch)),
+                out_specs=(P(), P()),
+                check_vma=False,
+            )
+        )
+
+        def call(*args):
+            with space_sharding("space"):
+                return sm(*args)
+
+        return call
+
+    def test_supervised_step_matches_single_device(self):
+        import optax
+
+        x, y = self._batch()
+        model = _model()
+        tx = optax.sgd(1e-2)
+
+        ref_state, ref_m = jax.jit(make_supervised_punet_step(model, tx))(
+            _state_hw(model, tx, self.H, self.W), x, y
+        )
+
+        mesh = get_mesh_2d(2, 2)
+        step = self._sharded(
+            mesh,
+            make_supervised_punet_step(model, tx, axis_name="data"),
+            2,
+        )
+        sm_state, sm_m = step(
+            jax.device_put(
+                _state_hw(model, tx, self.H, self.W), replicated(mesh)
+            ),
+            x, y,
+        )
+        assert abs(float(sm_m["loss"]) - float(ref_m["loss"])) < 1e-4 * abs(
+            float(ref_m["loss"])
+        ), (float(sm_m["loss"]), float(ref_m["loss"]))
+        for a, b in zip(
+            jax.tree_util.tree_leaves(ref_state.params),
+            jax.tree_util.tree_leaves(sm_state.params),
+        ):
+            np.testing.assert_allclose(
+                np.asarray(a), np.asarray(b), atol=2e-5
+            )
+
+    def test_mean_teacher_step_matches_single_device(self):
+        """Full MT contract row-sharded: teacher MC-16 draws (global-batch
+        noise slices identical across row shards), consensus masks, student
+        grads, EMA."""
+        import optax
+
+        x, _ = self._batch()
+        model = _model(masking=True)
+        tx = optax.sgd(1e-2)
+
+        ref_state, ref_m = jax.jit(
+            make_mean_teacher_step(model, tx, do_consensus_masking=True)
+        )(_state_hw(model, tx, self.H, self.W, with_teacher=True), x, x, x, x)
+
+        mesh = get_mesh_2d(2, 2)
+        step = self._sharded(
+            mesh,
+            make_mean_teacher_step(
+                model, tx, do_consensus_masking=True, axis_name="data"
+            ),
+            4,
+        )
+        sm_state, sm_m = step(
+            jax.device_put(
+                _state_hw(model, tx, self.H, self.W, with_teacher=True),
+                replicated(mesh),
+            ),
+            x, x, x, x,
+        )
+        assert abs(float(sm_m["loss"]) - float(ref_m["loss"])) < 1e-4 * abs(
+            float(ref_m["loss"])
+        ), (float(sm_m["loss"]), float(ref_m["loss"]))
+        for a, b in zip(
+            jax.tree_util.tree_leaves(ref_state.teacher_params),
+            jax.tree_util.tree_leaves(sm_state.teacher_params),
+        ):
+            np.testing.assert_allclose(
+                np.asarray(a), np.asarray(b), atol=2e-5
+            )
+
+    def test_engine_wires_spatial_shard_map(self, tmp_path):
+        """Trainer on a (data, space) mesh takes the shard_map path by
+        default (no conv pin, no GSPMD) and trains/validates green."""
+        from pda.data import ImageCollectionDataset, Loader
+        from pda.data.synthetic import make_dataset_arrays
+        from pda.train import PUNetTrainer
+
+        raws, labels = make_dataset_arrays(4, (self.H, self.W))
+        ds = ImageCollectionDataset(
+            raws, labels, patch_shape=(self.H, self.W)
+        )
+        t = PUNetTrainer(
+            "space-sm-trainer", _model(),
+            Loader(ds, 4, seed=0), Loader(ds, 2, seed=1),
+            learning_rate=1e-3, save_root=str(tmp_path), logger=False,
+            mesh=get_mesh_2d(2, 2),
+        )
+        assert t._dp_shard_map() and t._space_axis_name == "space"
+        t.fit(2)
+        m = t.validate()
+        assert np.isfinite(m["loss"])
+
+
+def _state_hw(model, tx, h, w, with_teacher=False):
+    x0 = jnp.zeros((1, h, w, 1))
+    params = model.init(jax.random.PRNGKey(0), x0, x0)["params"]
+    return create_train_state(
+        params, tx, jax.random.PRNGKey(1), with_teacher=with_teacher
+    )

@@ -47,6 +47,8 @@ import jax.numpy as jnp
 import numpy as np
 import pytest
 
+pytestmark = pytest.mark.slow  # multi-minute suite; default run skips, use --runslow
+
 torch = pytest.importorskip("torch")
 
 from pda.core import neg_elbo  # noqa: E402
@@ -440,11 +442,11 @@ class TestTrainingParity:
     def _soft_dice(pred, gt):
         return float(2 * np.sum(gt * pred) / (np.sum(gt) + np.sum(pred) + 1e-7))
 
-    def _train_reference(self, ref, train, val):
+    def _train_reference(self, ref, train, val, seed=123):
         opt = torch.optim.Adam(ref.parameters(), lr=self.LR)
         l2 = lambda m: sum(W.norm(2) for W in m.parameters())  # noqa: E731
         ref.train()
-        torch.manual_seed(123)
+        torch.manual_seed(seed)
         for x, y in train:
             opt.zero_grad()
             ref.forward(_t(x), _t(y), training=True)
@@ -470,13 +472,13 @@ class TestTrainingParity:
                 )
         return float(np.mean(dices))
 
-    def _train_pda(self, model, params, train, val):
+    def _train_pda(self, model, params, train, val, seed=123):
         from pda.train.optim import adam
         from pda.train.state import create_train_state
         from pda.train.steps import make_supervised_punet_step
 
         tx = adam(self.LR)
-        state = create_train_state(params, tx, jax.random.PRNGKey(123))
+        state = create_train_state(params, tx, jax.random.PRNGKey(seed))
         step = jax.jit(make_supervised_punet_step(model, tx))
         for x, y in train:
             state, _ = step(state, jnp.asarray(x), jnp.asarray(y))
@@ -501,23 +503,17 @@ class TestTrainingParity:
                                          yv[i].squeeze()))
         return float(np.mean(dices))
 
+    SEEDS = (123, 321, 777)
+
     def test_trained_dice_within_half_point(self):
+        """Seed-AVERAGED two-sided training parity: latent-draw RNG streams
+        are framework-specific, so a single-seed comparison rides draw
+        luck (measured single-seed margin was only ~2x the bound — ADVICE
+        r3 low #5); the mean over three training seeds from one shared
+        converted init is the stable statistic."""
         if not REFERENCE.exists():
             pytest.skip("reference snapshot not mounted")
         RefPUNet = _load_reference_punet(fixed_wiring=False)
-        torch.manual_seed(0)
-        ref = RefPUNet(
-            input_channels=1,
-            num_classes=1,
-            num_filters=list(self.FILTERS),
-            no_convs_fcomb=N_FCOMB,
-            beta=1.0,
-            rl_swap=True,
-        )
-        params = convert_punet_state_dict(
-            ref.state_dict(), num_filters=self.FILTERS, no_convs_fcomb=N_FCOMB
-        )
-        params = jax.tree_util.tree_map(jnp.asarray, params)
         model = ProbabilisticUnet(
             input_channels=1,
             num_classes=1,
@@ -527,13 +523,34 @@ class TestTrainingParity:
             rl_swap=True,
         )
         train, val = self._data()
-        dice_ref = self._train_reference(ref, train, val)
-        dice_pda = self._train_pda(model, params, train, val)
-        print(f"\ntraining parity: reference dice={dice_ref:.4f} "
-              f"pda dice={dice_pda:.4f} delta={abs(dice_ref-dice_pda):.4f}")
+        dices_ref, dices_pda = [], []
+        for seed in self.SEEDS:
+            torch.manual_seed(0)  # same shared init for every seed
+            ref = RefPUNet(
+                input_channels=1,
+                num_classes=1,
+                num_filters=list(self.FILTERS),
+                no_convs_fcomb=N_FCOMB,
+                beta=1.0,
+                rl_swap=True,
+            )
+            params = convert_punet_state_dict(
+                ref.state_dict(), num_filters=self.FILTERS,
+                no_convs_fcomb=N_FCOMB,
+            )
+            params = jax.tree_util.tree_map(jnp.asarray, params)
+            dices_ref.append(self._train_reference(ref, train, val, seed))
+            dices_pda.append(self._train_pda(model, params, train, val, seed))
+        dice_ref = float(np.mean(dices_ref))
+        dice_pda = float(np.mean(dices_pda))
+        print(f"\ntraining parity (seeds {self.SEEDS}): "
+              f"reference dice={dice_ref:.4f} ({dices_ref}) "
+              f"pda dice={dice_pda:.4f} ({dices_pda}) "
+              f"delta={abs(dice_ref-dice_pda):.4f}")
         assert dice_ref > 0.70, f"reference side failed to learn: {dice_ref}"
         assert dice_pda > 0.70, f"pda side failed to learn: {dice_pda}"
         assert abs(dice_ref - dice_pda) <= 0.005, (
-            f"trained-dice delta {abs(dice_ref - dice_pda):.4f} exceeds 0.5 pt "
+            f"seed-averaged trained-dice delta "
+            f"{abs(dice_ref - dice_pda):.4f} exceeds 0.5 pt "
             f"(ref {dice_ref:.4f} vs pda {dice_pda:.4f})"
         )
