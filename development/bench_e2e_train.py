@@ -56,12 +56,20 @@ def main():
     # sampling/aug path; TIFF decode adds ~nothing vs the elastic warp cost)
     raws, labels = make_dataset_arrays(8, (hw + 64, hw + 64), seed=0)
     aug = weak_augmentations()
+    # n_samples makes one epoch cover every measured step: fit() then runs
+    # exactly ONE validation epoch (like a real experiment's cadence, where
+    # epochs are hundreds of steps), instead of validating every 4 steps
     ds = DualImageCollectionDataset(
         raws, labels, patch_shape=(hw, hw),
         augmentation1=aug, augmentation2=aug,
+        n_samples=max(args.steps * bs, 8),
+    )
+    val_ds = DualImageCollectionDataset(
+        raws[:2], labels[:2], patch_shape=(hw, hw),
+        augmentation1=aug, augmentation2=aug,
     )
     train = Loader(ds, bs, shuffle=True, seed=0, num_workers=args.workers)
-    val = Loader(ds, 1, shuffle=False, seed=1, num_workers=0)
+    val = Loader(val_ds, 1, shuffle=False, seed=1, num_workers=0)
 
     # 1) pure host pipeline rate (no device work)
     it = iter(train)
