@@ -14,6 +14,8 @@ import sys
 import numpy as np
 import pytest
 
+pytestmark = pytest.mark.slow  # fit()-heavy suite; default run skips, use --runslow
+
 from pda.experiments import da_name, standard_parser, weak_augmentations
 from pda.experiments.common import mesh_from_arg
 

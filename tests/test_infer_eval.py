@@ -5,6 +5,8 @@ import os
 
 import pytest
 
+pytestmark = pytest.mark.slow  # fit()-heavy suite; default run skips, use --runslow
+
 import jax
 import jax.numpy as jnp
 import numpy as np

@@ -11,6 +11,7 @@ what would be written, without parsing event files.
 """
 
 import numpy as np
+import pytest
 
 from pda.data import (
     Compose,
@@ -31,6 +32,8 @@ from pda.train import (
     PUNetTrainer,
     UNetTrainer,
 )
+
+pytestmark = pytest.mark.slow  # fit()-heavy suite; default run skips, use --runslow
 
 FILTERS = (4, 8, 12, 16)
 PATCH = (32, 32)

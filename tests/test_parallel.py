@@ -659,3 +659,42 @@ def _state_hw(model, tx, h, w, with_teacher=False):
     return create_train_state(
         params, tx, jax.random.PRNGKey(1), with_teacher=with_teacher
     )
+
+
+class TestPanelsUnderMesh:
+    def test_panels_log_on_data_mesh(self, tmp_path):
+        """TB image panels under a multi-device mesh: the panel program runs
+        single-device on host-fetched params (engine._compute_panels), so
+        shard_map/GSPMD never sees it. Pins the device_get path."""
+        from pda.data import ImageCollectionDataset, Loader
+        from pda.data.synthetic import make_dataset_arrays
+        from pda.train import PUNetTrainer
+
+        class _Rec:
+            def __init__(self):
+                self.images = []
+
+            def add_scalar(self, *a, **k):
+                pass
+
+            def add_image(self, tag, img, step=None, **k):
+                self.images.append(tag)
+
+            def close(self):
+                pass
+
+        raws, labels = make_dataset_arrays(8, (64, 64))
+        ds = ImageCollectionDataset(raws, labels, patch_shape=(32, 32))
+        t = PUNetTrainer(
+            "mesh-panels", _model(),
+            Loader(ds, 8, seed=0), Loader(ds, 8, seed=1),
+            learning_rate=1e-3, save_root=str(tmp_path),
+            mesh=get_mesh(8),
+        )
+        rec = _Rec()
+        t.logger.tb = rec
+        t.fit(1)
+        tags = set(rec.images)
+        for tag in ("train/input", "train/target", "train/samples",
+                    "validation/samples"):
+            assert tag in tags, (tag, sorted(tags))

@@ -12,6 +12,8 @@ import jax.numpy as jnp
 import numpy as np
 import pytest
 
+pytestmark = pytest.mark.slow  # fit()-heavy suite; default run skips, use --runslow
+
 from pda.data import (
     AdditiveGaussianNoise,
     Compose,
