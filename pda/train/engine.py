@@ -190,7 +190,48 @@ class Trainer:
                 (DATA_AXIS,), (DATA_AXIS, SPACE_AXIS),
             )
             and os.environ.get("PDA_DP_IMPL", "shard_map") != "gspmd"
+            and not self._force_gspmd
         )
+
+    #: set by initialize() when the (data, space) halo path cannot serve
+    #: this model/geometry — the engine then falls back to GSPMD instead of
+    #: erroring at trace time
+    _force_gspmd = False
+
+    def _check_spatial_support(self, example_batch):
+        """On a (data, space) mesh, decide UP FRONT whether the shard_map
+        halo path supports this model + patch geometry; fall back to GSPMD
+        (with a printed note) when it cannot, instead of surfacing the
+        blocks-level trace error to the user. Supported = a ConvBlock-based
+        PUNet-family model whose deepest pyramid level keeps >= 9 rows per
+        row shard (the in-shard boundary-fix strip minimum,
+        pda.models.blocks._conv3_space_sharded)."""
+        if (
+            self.mesh is None
+            or SPACE_AXIS not in self.mesh.axis_names
+            or not self._dp_shard_map()
+        ):
+            return
+        n_space = self.mesh.shape[SPACE_AXIS]
+        filters = getattr(self.model, "num_filters", None)
+        reason = None
+        if filters is None:  # UNet2d etc.: no halo-aware block path
+            reason = f"{type(self.model).__name__} has no halo-exchange path"
+        else:
+            h = int(np.asarray(example_batch[0]).shape[1])
+            down = n_space * 2 ** (len(filters) - 1)
+            if h % down or (h // down) < 9:
+                reason = (
+                    f"patch rows {h} leave {h // down} rows per row shard at "
+                    f"the deepest level (need >= 9 and divisibility by {down})"
+                )
+        if reason is not None:
+            print(
+                f"note: (data, space={n_space}) mesh falls back to GSPMD — "
+                f"{reason}; the fused kernels are pinned off for this "
+                f"trainer (PDA_DP_IMPL=gspmd semantics)"
+            )
+            self._force_gspmd = True
 
     @property
     def _axis_name(self) -> Optional[str]:
@@ -281,8 +322,10 @@ class Trainer:
         # (orthogonal/QR initializers) compiles pathologically slowly through
         # the TPU remote-compile path, while train-step compiles are fast.
         # The state is transferred to the accelerator afterwards.
+        example_batch = self._example_batch()
+        self._check_spatial_support(example_batch)
         with jax.default_device(jax.devices("cpu")[0]):
-            params = self.init_params(k_init, self._example_batch())
+            params = self.init_params(k_init, example_batch)
             self.state = create_train_state(
                 params, self.tx, k_state, with_teacher=self.with_teacher
             )
@@ -312,7 +355,12 @@ class Trainer:
             self.state.teacher_params if self.with_teacher else self.state.params
         ), self.state.rng
         if self.mesh is not None:
-            params, teacher, rng = jax.device_get((params, teacher, rng))
+            # replicated mesh arrays -> plain single-device arrays for the
+            # panel program: a device-to-device put (device 0 already holds
+            # a full replica), never a host round-trip of the params
+            params, teacher, rng = jax.device_put(
+                (params, teacher, rng), jax.devices()[0]
+            )
         raw = self._panel_jit(params, teacher, rng, *small)
         return self.assemble_panels({k: np.asarray(v) for k, v in raw.items()})
 
@@ -365,6 +413,10 @@ class Trainer:
         torch_em DefaultTrainer.fit semantics. ``overwrite_training=False``
         resumes from the latest checkpoint if one exists (the reference's
         resume-style flag, e.g. mitoem_punet.py:49)."""
+        # initialize BEFORE deciding the conv-path pin: the spatial-support
+        # check may flip this trainer to the GSPMD fallback, which needs
+        # the pin active while its steps trace
+        self.initialize()
         with self._conv_path_pin():
             return self._fit_impl(
                 iterations,
@@ -468,6 +520,7 @@ class Trainer:
     def validate(self) -> dict:
         # accumulate metric scalars ON DEVICE and fetch once at the end — a
         # per-batch float() would force a host sync per validation step
+        self.initialize()  # see fit(): pin decision needs the support check
         with self._conv_path_pin():
             return self._validate_impl()
 

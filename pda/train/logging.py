@@ -55,10 +55,12 @@ def make_grid(images, nrow: int = 4, padding: int = 4) -> np.ndarray:
 class TrainLogger:
     """Scalars + image panels for any trainer."""
 
-    #: panel list of the trainer this logger class is named after (set by
-    #: the reference-named subclasses below). The engine's trainers carry
-    #: their own ``image_tags`` matching their batch-tuple order and win
-    #: when set; a trainer without tags falls back to the logger's.
+    #: DOCUMENTATION of the panel set the matching trainer writes (set by
+    #: the reference-named subclasses below). The panels themselves come
+    #: from the trainer's ``make_panel_fn``/``assemble_panels``; these
+    #: lists exist so the contract is greppable and test-pinned
+    #: (tests/test_logging.py asserts the written tag set EQUALS the
+    #: trainer's ``image_tags`` — a panel-key rename fails the pin).
     image_tags: tuple = ()
 
     def __init__(
@@ -135,8 +137,8 @@ class TrainLogger:
 # PseudoLogger, MeanTeacherLogger, FixMatchLogger, AdaMTLogger,
 # AdaMatchLogger) and trainers take the CLASS as a constructor argument
 # (torch_em pattern). Here all behavior lives in TrainLogger (the trainer
-# supplies its image panels via ``image_tags``); these subclasses carry the
-# reference names + panel lists so reference code passing
+# computes its image panels via ``make_panel_fn``); these subclasses carry
+# the reference names + documented panel lists so reference code passing
 # ``logger=PUNetLogger`` works unchanged.
 # ---------------------------------------------------------------------------
 

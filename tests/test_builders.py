@@ -494,7 +494,7 @@ class TestLabelTransformUnits:
         affs = affinity_transform(lab, offsets=((0, 1), (1, 0)))
         # bg-bg pair -> 1 (equality), NOT 0
         assert affs[0, 0, 0] == 1.0  # (0,0)-(0,1) both background
-        assert affs[3, 3, 1] == 1.0  # (3,3)-(4,3) wait: (3,3) bg, (4,3) bg
+        assert affs[3, 3, 1] == 1.0  # (3,3)-(4,3): both background -> 1
         # same-instance pair -> 1
         assert affs[1, 1, 0] == 1.0
         # instance-background transition -> 0

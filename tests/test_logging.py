@@ -95,12 +95,14 @@ def _drive(trainer, iterations=2):
 
 
 def _assert_panels(rec, tags, grid_tags=()):
-    """Each expected tag appears under train/ (interval step 0) AND under
-    validation/; panel images are finite and 2-D-with-channel shaped."""
-    written = {tag for tag, _, _ in rec.images}
-    for t in tags:
-        assert f"train/{t}" in written, (t, sorted(written))
-        assert f"validation/{t}" in written, (t, sorted(written))
+    """The written panel tag set EQUALS the expected set, under both train/
+    (interval step 0) and validation/ — so a panel-key rename desyncing the
+    trainers' documented ``image_tags`` fails here; panel images are finite
+    and 2-D-with-channel shaped."""
+    for prefix in ("train", "validation"):
+        written = {tag.split("/", 1)[1] for tag, _, _ in rec.images
+                   if tag.startswith(prefix + "/")}
+        assert written == set(tags), (prefix, sorted(written), sorted(tags))
     for tag, img, _ in rec.images:
         assert np.all(np.isfinite(img)), tag
         base = tag.split("/", 1)[1]

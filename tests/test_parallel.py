@@ -441,21 +441,25 @@ class TestShardMapDP:
             )
 
     def test_engine_mode_selection(self, monkeypatch):
-        """shard_map DP engages only on a multi-device pure-``data`` mesh and
-        can be opted out via PDA_DP_IMPL=gspmd (2-D meshes stay on GSPMD for
-        the spatial halo exchanges)."""
+        """shard_map engages on multi-device ``data`` AND ``(data, space)``
+        meshes (the spatial path does explicit ppermute halos), can be opted
+        out via PDA_DP_IMPL=gspmd, and auto-falls back to GSPMD when the
+        support check flags the model/geometry (``_force_gspmd``)."""
         from pda.train.engine import Trainer
 
-        def probe(mesh):
+        def probe(mesh, force=False):
             t = object.__new__(Trainer)
             t.mesh = mesh
+            if force:
+                t._force_gspmd = True
             return t._dp_shard_map()
 
         monkeypatch.delenv("PDA_DP_IMPL", raising=False)
         assert probe(get_mesh(8)) is True
         assert probe(get_mesh(1)) is False
         assert probe(None) is False
-        assert probe(get_mesh_2d(2, 4)) is False
+        assert probe(get_mesh_2d(2, 4)) is True
+        assert probe(get_mesh_2d(2, 4), force=True) is False
         monkeypatch.setenv("PDA_DP_IMPL", "gspmd")
         assert probe(get_mesh(8)) is False
 
@@ -483,12 +487,10 @@ class TestTrainerOnMesh:
         assert os.path.exists(tmp_path / "checkpoints" / "mesh-trainer" / "latest.ckpt")
 
     def test_trainer_fit_with_spatial_mesh_gspmd(self, tmp_path, monkeypatch):
-        """Trainer over a 2-D (data, space) mesh on the GSPMD fallback
-        (PDA_DP_IMPL=gspmd): rows sharded through fit/validate via the
-        partitioner, and the engine pins the XLA conv path (engine.py
-        guard). The default 2-D path is shard_map with explicit halos —
-        TestSpatialShardMap — which needs larger row shards than these
-        32x32 patches allow."""
+        """Trainer over a 2-D (data, space) mesh whose 32x32 patches are too
+        small for the shard_map halo path: the engine AUTO-falls back to
+        GSPMD (printed note, no trace-time error), rows shard via the
+        partitioner, and the XLA conv path is pinned (engine.py guard)."""
         import os
 
         from pda.data import ImageCollectionDataset, Loader
@@ -496,7 +498,7 @@ class TestTrainerOnMesh:
         from pda.train import PUNetTrainer
 
         monkeypatch.delenv("PDA_PALLAS_CONV", raising=False)
-        monkeypatch.setenv("PDA_DP_IMPL", "gspmd")
+        monkeypatch.delenv("PDA_DP_IMPL", raising=False)
         raws, labels = make_dataset_arrays(8, (64, 64))
         ds = ImageCollectionDataset(raws, labels, patch_shape=(32, 32))
         t = PUNetTrainer(
@@ -506,6 +508,7 @@ class TestTrainerOnMesh:
             mesh=get_mesh_2d(2, 4),
         )
         t.fit(2)
+        assert t._force_gspmd and not t._dp_shard_map()
         m = t.validate()
         # the conv-path pin is scoped to fit/validate — no process-global leak
         assert "PDA_PALLAS_CONV" not in os.environ
