@@ -243,3 +243,73 @@ def test_every_env_knob_is_documented_in_knobs_md():
     documented = set(re.findall(r"PDA_[A-Z0-9_]+", (root / "KNOBS.md").read_text()))
     missing = sorted(used - documented)
     assert not missing, f"undocumented env knobs: {missing} — add them to KNOBS.md"
+
+
+class TestShardMapTransposeCanary:
+    """FAST version-gate for the shard_map gradient semantics the parallel
+    paths are BUILT ON (the heavyweight equality pins live in the slow
+    suite; this canary fails in seconds if a JAX upgrade changes the
+    check_vma=False legacy transpose rules).
+
+    Contract pinned here (see pda/core/losses._gsum and
+    pda/models/blocks.global_mean_rows_sharded):
+      * _gsum: value is the global psum, gradient is the LOCAL identity —
+        never scaled by the shard count;
+      * pmean: transpose is psum(ct)/n — for a replicated consumer each
+        shard's cotangent comes back FULL (the cross-shard gather the
+        encoders' pooled stats require), not divided per copy;
+      * ppermute: transpose is the inverse permutation (boundary shards'
+        unpaired sends vanish; receives come back to the sender).
+    """
+
+    def _mesh2(self):
+        import jax
+        from jax.sharding import Mesh
+
+        return Mesh(np.asarray(jax.devices("cpu")[:2]), ("s",))
+
+    def _grad_per_shard(self, body, x):
+        import jax
+        from jax.sharding import PartitionSpec as P
+
+        g = jax.shard_map(
+            jax.grad(body), mesh=self._mesh2(),
+            in_specs=P("s"), out_specs=P("s"), check_vma=False,
+        )
+        return np.asarray(jax.jit(g)(x))
+
+    def test_gsum_gradient_is_local_identity(self):
+        import jax.numpy as jnp
+
+        from pda.core.losses import _gsum
+
+        x = np.arange(4.0, dtype=np.float32)
+        g = self._grad_per_shard(lambda v: _gsum(jnp.sum(v), "s"), x)
+        np.testing.assert_allclose(g, np.ones(4, np.float32))
+
+    def test_pmean_transpose_is_psum_over_n(self):
+        import jax
+        import jax.numpy as jnp
+
+        x = np.arange(4.0, dtype=np.float32)
+        # replicated consumer: every shard computes sum(pmean(local));
+        # legacy transpose must hand each shard the FULL summed cotangent/n
+        # => d/dx_local = n * (1/n) = 1 per element
+        g = self._grad_per_shard(
+            lambda v: jnp.sum(jax.lax.pmean(v, "s")), x
+        )
+        np.testing.assert_allclose(g, np.ones(4, np.float32))
+
+    def test_ppermute_transpose_is_inverse_permutation(self):
+        import jax
+        import jax.numpy as jnp
+
+        x = np.arange(4.0, dtype=np.float32)
+        # shard 0 -> shard 1; only shard 0's elements influence the
+        # (shard-1-only) consumer, so its gradient is ones, shard 1's zeros
+        def body(v):
+            recv = jax.lax.ppermute(v, "s", [(0, 1)])
+            return jnp.sum(recv * jax.lax.axis_index("s"))
+
+        g = self._grad_per_shard(body, x)
+        np.testing.assert_allclose(g, np.array([1, 1, 0, 0], np.float32))
