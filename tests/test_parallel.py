@@ -701,3 +701,49 @@ class TestPanelsUnderMesh:
         for tag in ("train/input", "train/target", "train/samples",
                     "validation/samples"):
             assert tag in tags, (tag, sorted(tags))
+
+
+class TestSpatialShardMap1x4:
+    """Pure-spatial 1x4 mesh: three interior seams + both global boundaries,
+    deepest level at the 10-row minimum — the hardest halo geometry."""
+
+    H, W = 320, 32
+
+    def test_supervised_step_matches_single_device(self):
+        import optax
+
+        from jax.sharding import PartitionSpec as P
+
+        from pda.models.blocks import space_sharding
+
+        rng = np.random.default_rng(5)
+        x = rng.normal(size=(2, self.H, self.W, 1)).astype(np.float32)
+        y = (rng.random((2, self.H, self.W, 1)) > 0.5).astype(np.float32)
+        model = _model()
+        tx = optax.sgd(1e-2)
+        ref_state, ref_m = jax.jit(make_supervised_punet_step(model, tx))(
+            _state_hw(model, tx, self.H, self.W), x, y
+        )
+        mesh = get_mesh_2d(1, 4)
+        sm = jax.jit(
+            jax.shard_map(
+                make_supervised_punet_step(model, tx, axis_name="data"),
+                mesh=mesh,
+                in_specs=(P(), P("data", "space"), P("data", "space")),
+                out_specs=(P(), P()),
+                check_vma=False,
+            )
+        )
+        state0 = jax.device_put(
+            _state_hw(model, tx, self.H, self.W), replicated(mesh)
+        )
+        with space_sharding("space"):
+            sm_state, sm_m = sm(state0, x, y)
+        assert abs(float(sm_m["loss"]) - float(ref_m["loss"])) < 1e-4 * abs(
+            float(ref_m["loss"])
+        ), (float(sm_m["loss"]), float(ref_m["loss"]))
+        for a, b in zip(
+            jax.tree_util.tree_leaves(ref_state.params),
+            jax.tree_util.tree_leaves(sm_state.params),
+        ):
+            np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=2e-5)
