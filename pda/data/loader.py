@@ -91,6 +91,7 @@ class Loader:
         seed: int = 0,
         prefetch: int = 2,
         worker_mode: str = "process",
+        force_workers: bool = False,
     ):
         self.dataset = dataset
         self.batch_size = batch_size
@@ -100,6 +101,10 @@ class Loader:
         self.seed = seed
         self.prefetch = prefetch
         self.worker_mode = worker_mode
+        #: run the worker pool even on single-core hosts (tests exercise the
+        #: real pool path with this; production leaves the measured inline
+        #: fallback in charge)
+        self.force_workers = force_workers
         self._epoch = 0
         self._pool = None
         self._shm = None
@@ -273,7 +278,11 @@ class Loader:
             import os
 
             n_cores = os.cpu_count() or 1
-        effective_workers = self.num_workers if n_cores > 1 else 0
+        effective_workers = (
+            self.num_workers
+            if (n_cores > 1 or self.force_workers)
+            else 0
+        )
 
         if effective_workers <= 0:
             for b in range(n_batches):
@@ -301,15 +310,28 @@ class Loader:
             rows = batch_slice(b)
             if mode == "process":
                 out = []
-                for i in rows:
-                    slot = take_slot()
-                    out.append((
-                        pool.submit(
-                            _worker_fetch_shm, self.seed, epoch, int(i),
-                            slot, self._slot_nbytes,
-                        ),
-                        slot,
-                    ))
+                try:
+                    for i in rows:
+                        slot = take_slot()
+                        out.append((
+                            pool.submit(
+                                _worker_fetch_shm, self.seed, epoch, int(i),
+                                slot, self._slot_nbytes,
+                            ),
+                            slot,
+                        ))
+                except BaseException:
+                    # slot exhaustion mid-batch: drain this batch's already-
+                    # submitted futures and return their slots (they are not
+                    # yet in `pending`, so the iterator's finally can't)
+                    for f, slot in out:
+                        if not f.cancel():
+                            try:
+                                f.result()
+                            except Exception:
+                                pass
+                        self._free_slots.append(slot)
+                    raise
                 return out
             return [(pool.submit(self._fetch, epoch, i), None) for i in rows]
 

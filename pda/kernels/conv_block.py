@@ -46,28 +46,20 @@ from jax.experimental.pallas import tpu as pltpu
 
 
 def _compiler_params(vmem_mb: int = 120, allow_dimsem: bool = True):
-    """Shared CompilerParams for every fused conv-block kernel: VMEM budget
-    + optional grid dimension semantics (PDA_PALLAS_DIMSEM=1 marks
-    (batch, band) as (parallel, arbitrary), letting Mosaic double-buffer
-    across bands; measured a step-level wash, kept opt-in).
+    """Shared CompilerParams for every fused conv-block kernel: VMEM budget.
 
-    ``allow_dimsem=False`` is REQUIRED for the backward kernels: their dw/db
-    outputs are grid-constant accumulators that assume strictly sequential
-    grid iteration — declaring the batch dimension 'parallel' would let a
-    multi-core Mosaic split it and corrupt the accumulation."""
-    import os
-
-    kw = dict(vmem_limit_bytes=vmem_mb * 1024 * 1024)
-    if allow_dimsem and os.environ.get("PDA_PALLAS_DIMSEM", "0") == "1":
-        kw["dimension_semantics"] = ("parallel", "arbitrary")
-    return pltpu.CompilerParams(**kw)
+    Grid 'parallel' dimension semantics were probed (round 2-3: step-level
+    wash, 23.86 vs 23.97 patches/s) and removed; the backward kernels'
+    dw/db outputs are grid-constant accumulators that REQUIRE strictly
+    sequential grid iteration, so dimension semantics must never be emitted
+    there (``allow_dimsem`` retained for call-site documentation)."""
+    return pltpu.CompilerParams(vmem_limit_bytes=vmem_mb * 1024 * 1024)
 
 
 def _compiler_params_bwd(vmem_mb: int = 120):
     """CompilerParams for the backward kernels (both the unpacked and the
     packed family): dw/db accumulate in grid-constant output blocks, so
-    sequential grid iteration is load-bearing — never emit 'parallel'
-    dimension semantics here."""
+    sequential grid iteration is load-bearing."""
     return _compiler_params(vmem_mb, allow_dimsem=False)
 
 MARGIN = 4  # zero-ring width (>= 3-conv halo; 4 keeps halo blocks 8-aligned)

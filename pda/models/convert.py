@@ -153,8 +153,13 @@ def convert_unet_state_dict(state: Dict, *, depth: int = 4) -> Dict:
     either side. Affine-norm checkpoints (torch_em ``InstanceNormTrackStats``
     etc.) are rejected with a clear error."""
     for k in state:
-        if (".block.0.weight" in k or ".block.3.weight" in k) and \
-                state[k].ndim == 1:
+        affine_norm = (".block.0.weight" in k or ".block.3.weight" in k) and \
+            state[k].ndim == 1
+        # track_running_stats=True with affine=False stores ONLY
+        # running_mean/running_var — those change eval-time normalization
+        # too, so reject rather than silently dropping them.
+        running_stats = k.endswith(".running_mean") or k.endswith(".running_var")
+        if affine_norm or running_stats:
             raise ValueError(
                 f"checkpoint carries affine/track-stats norm parameters "
                 f"({k}); only torch_em's default parameterless InstanceNorm "

@@ -73,45 +73,11 @@ def from_flat(xf: jax.Array, h: int, w: int) -> jax.Array:
     return uncanvas(xf, h, w)
 
 
-@functools.lru_cache(maxsize=None)
-def _unpack_w_packed(w: int):
-    """(W, wpp) even/odd selection matrices mapping packed cols to image
-    cols: packed col q's lane halves hold image cols (2q - MARGIN,
-    2q - MARGIN + 1)."""
-    wpp = packed_wpp(w)
-    even = np.zeros((w, wpp), np.float32)
-    odd = np.zeros((w, wpp), np.float32)
-    for q in range(wpp):
-        for k, mat in ((0, even), (1, odd)):
-            col = 2 * q + k - MARGIN
-            if 0 <= col < w:
-                mat[col, q] = 1.0
-    return even, odd
-
-
 def from_flat_packed(xf: jax.Array, h: int, w: int) -> jax.Array:
-    import os
-
-    b, _, c2 = xf.shape
-    c = c2 // 2
-    if os.environ.get("PDA_UNPACK_MM", "0") == "1" and c >= 64:
-        # matmul-formulated unpack for full-lane channel counts: the
-        # reshape form reinterprets lane pairs as adjacent columns — a
-        # physical relayout on TPU (~0.35 ms at the Fcomb boundary's
-        # (2,512,544,64)); two one-hot MXU contractions do the even/odd
-        # column placement instead, and the transpose is again matmuls.
-        # Step-level A/B measured a WASH (28.67 vs 28.64 patches/s means),
-        # so this stays opt-in; kept because the equivalence is pinned and
-        # other geometries may differ.
-        wpp = packed_wpp(w)
-        x4 = xf.reshape(b, h, wpp, c2)
-        pe, po = _unpack_w_packed(w)
-        prec = _precision_for(xf.dtype)
-        img = jnp.einsum("Ww,bhwc->bhWc", jnp.asarray(pe, xf.dtype),
-                         x4[..., :c], precision=prec)
-        img = img + jnp.einsum("Ww,bhwc->bhWc", jnp.asarray(po, xf.dtype),
-                               x4[..., c:], precision=prec)
-        return img
+    # A matmul-formulated unpack (two one-hot MXU contractions instead of
+    # the lane-pair reshape) was probed in round 3/4 and measured a wash
+    # (28.67 vs 28.64 patches/s); the knob was pruned in round 5 — the
+    # measured record lives in IMPLEMENTATION_STATUS.md.
     return uncanvas_packed(xf, h, w)
 
 

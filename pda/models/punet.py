@@ -381,35 +381,6 @@ def fcomb_decode_flat(
     return fcomb_decode_from_term_flat(model, fcomb_params, term, geom, z)
 
 
-def _mc_decode_logits_paired(model, params, features, zs):
-    """Image-layout MC tail with SAMPLE PAIRS lane-packed to 128: the
-    (S, B, H, W, 64) per-sample intermediates become (S/2, B, H, W, 128)
-    with block-diagonal mid/last kernels — identical per-sample math,
-    half the physical traffic when XLA pads the 64-lane tensors."""
-    fc = params["fcomb"]
-    dt = model.dtype
-    feat_term = jnp.dot(
-        features.astype(dt), fc["feat_proj"]["kernel"].astype(dt)
-    )
-    zp = fc["z_proj"]
-    zt = zs.astype(dt) @ zp["kernel"].astype(dt) + zp["bias"].astype(dt)
-    s = zt.shape[0]
-    zt2 = jnp.concatenate([zt[0::2], zt[1::2]], axis=-1)  # (S/2, B, 2C)
-    feat2 = jnp.concatenate([feat_term, feat_term], axis=-1)
-    h = nn.relu(feat2[None] + zt2[:, :, None, None, :])
-    for m in _mid_keys(fc):
-        wk = _bd2(fc[m]["kernel"].astype(dt))
-        bk = jnp.concatenate([fc[m]["bias"].astype(dt)] * 2)
-        h = nn.relu(jnp.einsum("pbhwc,cd->pbhwd", h, wk) + bk)
-    wl = _bd2(fc["last_layer"]["kernel"].astype(dt))
-    bl = jnp.concatenate([fc["last_layer"]["bias"].astype(dt)] * 2)
-    out = (jnp.einsum("pbhwc,cd->pbhwd", h, wl) + bl).astype(jnp.float32)
-    nc = model.num_classes
-    p, b_, hh, ww, _ = out.shape
-    out = out.reshape(p, b_, hh, ww, 2, nc)
-    return jnp.moveaxis(out, 4, 1).reshape(s, b_, hh, ww, nc)
-
-
 def mc_decode_logits(
     model: ProbabilisticUnet,
     params,
@@ -437,10 +408,6 @@ def mc_decode_logits(
         return jax.vmap(
             lambda z: fcomb_decode_from_term_flat(model, fc, term, feat_geom, z)
         )(zs)
-    import os
-
-    if n_samples % 2 == 0 and os.environ.get("PDA_MC_PAIR", "0") == "1":
-        return _mc_decode_logits_paired(model, params, features, zs)
     feat_term = model.apply({"params": params}, features, method="decode_feature_term")
 
     def _decode(z):

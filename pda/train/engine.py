@@ -52,7 +52,15 @@ from .checkpoint import (
     load_params,
     save_checkpoint,
 )
-from .logging import TrainLogger
+from .logging import (
+    AdaMatchLogger,
+    AdaMTLogger,
+    FixMatchLogger,
+    MeanTeacherLogger,
+    PseudoLogger,
+    PUNetLogger,
+    TrainLogger,
+)
 from .optim import ReduceLROnPlateau, adam
 from .state import TrainState, create_train_state
 
@@ -67,6 +75,10 @@ class Trainer:
     #: Produced by ``make_panel_fn`` + ``assemble_panels``, not positionally
     #: from the batch tuple.
     image_tags: tuple = ()
+    #: logger class constructed for ``logger=True`` — subclasses point this
+    #: at their reference-named logger so per-logger display conventions
+    #: (e.g. PUNetLogger's raw 'input' panel) apply by default.
+    default_logger_cls = TrainLogger
 
     def __init__(
         self,
@@ -110,7 +122,7 @@ class Trainer:
             self.logger = logger
         else:
             self.logger = (
-                TrainLogger(name, save_root, log_image_interval)
+                self.default_logger_cls(name, save_root, log_image_interval)
                 if logger else None
             )
         self.seed = seed
@@ -218,13 +230,24 @@ class Trainer:
         if filters is None:  # UNet2d etc.: no halo-aware block path
             reason = f"{type(self.model).__name__} has no halo-exchange path"
         else:
-            h = int(np.asarray(example_batch[0]).shape[1])
+            # validate the VAL geometry too — a val loader with a different
+            # patch height would otherwise surface the blocks-level trace
+            # error instead of this friendly fallback
+            heights = {("train", int(np.asarray(example_batch[0]).shape[1]))}
+            try:
+                val_batch = next(iter(self.val_loader))
+                heights.add(("val", int(np.asarray(val_batch[0]).shape[1])))
+            except (StopIteration, TypeError):
+                pass
             down = n_space * 2 ** (len(filters) - 1)
-            if h % down or (h // down) < 9:
-                reason = (
-                    f"patch rows {h} leave {h // down} rows per row shard at "
-                    f"the deepest level (need >= 9 and divisibility by {down})"
-                )
+            for split, h in sorted(heights):
+                if h % down or (h // down) < 9:
+                    reason = (
+                        f"{split} patch rows {h} leave {h // down} rows per "
+                        f"row shard at the deepest level (need >= 9 and "
+                        f"divisibility by {down})"
+                    )
+                    break
         if reason is not None:
             print(
                 f"note: (data, space={n_space}) mesh falls back to GSPMD — "
@@ -651,6 +674,7 @@ class UNetTrainer(Trainer):
 class PUNetTrainer(_SampleGridPanelsMixin, _PUNetInitMixin, Trainer):
     """Supervised source PUNet training (reference punet_trainer.py:13-97)."""
 
+    default_logger_cls = PUNetLogger
     image_tags = ("input", "target", "samples")
 
     def make_train_step(self):
@@ -669,6 +693,7 @@ class PseudoTrainer(Trainer):
     """UNet on fixed pseudo-labels + consensus masking
     (reference punet_target_trainer.py:12-67)."""
 
+    default_logger_cls = PseudoLogger
     image_tags = ("input", "target", "prediction")
 
     def make_train_step(self):
@@ -693,6 +718,7 @@ class PseudoTrainerPUNet(_SampleGridPanelsMixin, _PUNetInitMixin, Trainer):
     """PUNet on precomputed pseudo-labels + consensus from disk
     (reference punet_target_trainer.py:92-183)."""
 
+    default_logger_cls = PseudoLogger
     image_tags = ("input", "target", "samples")
 
     def make_train_step(self):
@@ -713,6 +739,7 @@ class MeanTeacherTrainer(_PUNetInitMixin, Trainer):
     """Separate-training mean teacher (reference mean_teacher_trainer.py)."""
 
     with_teacher = True
+    default_logger_cls = MeanTeacherLogger
     image_tags = ("input", "aug_inputs_1", "aug_inputs_2",
                   "teacher_predictions", "teacher_consensus", "ground_truth",
                   "model_samples")
@@ -767,6 +794,7 @@ class FixMatchTrainer(_PUNetInitMixin, Trainer):
 
     #: the reference FixMatchLogger writes ONE grid panel
     #: (fixmatch_trainer.py:193-196)
+    default_logger_cls = FixMatchLogger
     image_tags = ("weak-strong-labels-pred",)
 
     def __init__(
@@ -876,6 +904,7 @@ class AdaMTTrainer(_JointTrainer):
     """Joint mean teacher (reference adamt_trainer.py)."""
 
     with_teacher = True
+    default_logger_cls = AdaMTLogger
     image_tags = ("target_inputs", "weak_aug1", "weak_aug2",
                   "teacher_predictions", "teacher_consensus",
                   "target_ground_truth", "model_samples")
@@ -911,6 +940,7 @@ class AdaMTTrainer(_JointTrainer):
 class AdaMatchTrainer(_JointTrainer):
     """Joint FixMatch-style training, no teacher (reference adamatch_trainer.py)."""
 
+    default_logger_cls = AdaMatchLogger
     image_tags = ("target_inputs", "weak_aug", "strong_aug",
                   "weak_model_predictions", "weak_model_consensus",
                   "target_ground_truth", "model_samples")

@@ -144,9 +144,15 @@ class TrainLogger:
 
 
 class PUNetLogger(TrainLogger):
-    """Reference punet_trainer.py:100-125: input, target, 16-sample grid."""
+    """Reference punet_trainer.py:100-125: input, target, 16-sample grid.
+
+    Unlike the torch_em base logger, the reference PUNetLogger writes the
+    input tensor RAW (punet_trainer.py:111 calls ``add_image`` without
+    ``_normalize_torch``) — so 'input' is excluded from the display
+    normalization here."""
 
     image_tags = ("input", "target", "samples")
+    NORMALIZED_TAGS = TrainLogger.NORMALIZED_TAGS - {"input"}
 
 
 class PseudoLogger(TrainLogger):

@@ -30,8 +30,16 @@ def pytest_addoption(parser):
         "--runslow",
         action="store_true",
         default=False,
-        help="also run tests marked slow (parity/kernel/parallel/builder "
-        "suites; the FULL suite takes ~30 min single-process)",
+        help="also run tests marked slow (multi-minute suites); tests "
+        "marked heavy (tens of minutes: full parity matrices, kernel "
+        "interpret sweeps) still need --runheavy",
+    )
+    parser.addoption(
+        "--runheavy",
+        action="store_true",
+        default=False,
+        help="also run tests marked heavy (implies --runslow; the FULL "
+        "suite takes ~40 min single-process)",
     )
 
 
@@ -41,17 +49,29 @@ def pytest_configure(config):
         "slow: expensive suite (multi-minute XLA compiles); excluded from "
         "the default run, enable with --runslow",
     )
+    config.addinivalue_line(
+        "markers",
+        "heavy: tens-of-minutes suites (full parity matrices, kernel "
+        "interpret sweeps); excluded even from --runslow, enable with "
+        "--runheavy",
+    )
 
 
 def pytest_collection_modifyitems(config, items):
-    if config.getoption("--runslow"):
-        return
-    skip = pytest.mark.skip(
+    run_heavy = config.getoption("--runheavy")
+    run_slow = config.getoption("--runslow") or run_heavy
+    skip_slow = pytest.mark.skip(
         reason="slow suite: pass --runslow for the full run"
     )
+    skip_heavy = pytest.mark.skip(
+        reason="heavy suite: pass --runheavy to include it"
+    )
     for item in items:
-        if "slow" in item.keywords:
-            item.add_marker(skip)
+        if "heavy" in item.keywords:
+            if not run_heavy:
+                item.add_marker(skip_heavy)
+        elif "slow" in item.keywords and not run_slow:
+            item.add_marker(skip_slow)
 
 
 @pytest.fixture

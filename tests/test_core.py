@@ -243,6 +243,14 @@ def test_every_env_knob_is_documented_in_knobs_md():
     documented = set(re.findall(r"PDA_[A-Z0-9_]+", (root / "KNOBS.md").read_text()))
     missing = sorted(used - documented)
     assert not missing, f"undocumented env knobs: {missing} — add them to KNOBS.md"
+    # names ending in '_' are prose brace-expansions (PDA_PALLAS_{A,B}),
+    # not knob rows
+    stale = sorted(k for k in documented - used if not k.endswith("_"))
+    assert not stale, (
+        f"KNOBS.md documents knobs the code no longer reads: {stale} — "
+        f"remove the rows (pruned-knob records belong in "
+        f"IMPLEMENTATION_STATUS.md)"
+    )
 
 
 class TestShardMapTransposeCanary:

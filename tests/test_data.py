@@ -258,6 +258,91 @@ class TestLoader:
         assert not np.allclose(e1, e2)
 
 
+class _UnpicklableDataset:
+    """Wraps a dataset with a lambda member so it cannot ship to process
+    workers — forces the thread-fallback warning path."""
+
+    def __init__(self, inner):
+        self.inner = inner
+        self._lambda = lambda: None  # unpicklable on purpose
+
+    def __len__(self):
+        return len(self.inner)
+
+    def sample(self, index, rng):
+        return self.inner.sample(index, rng)
+
+
+class TestLoaderPoolPaths:
+    """Execute the REAL scaling paths (shm process pool, slot management,
+    thread fallback) even on this single-core host via ``force_workers``
+    (VERDICT r4: the pool paths previously never ran under test — the
+    1-core inline fallback made worker tests compare inline vs inline)."""
+
+    def _dataset(self):
+        raws, labels = make_dataset_arrays(8, (64, 64))
+        return ImageCollectionDataset(raws, labels, patch_shape=(32, 32))
+
+    def test_process_pool_matches_inline(self):
+        ds = self._dataset()
+        serial = list(Loader(ds, batch_size=4, num_workers=0, seed=7))
+        loader = Loader(
+            ds, batch_size=4, num_workers=2, seed=7, force_workers=True
+        )
+        import warnings
+
+        with warnings.catch_warnings():
+            warnings.simplefilter("error")  # a fallback warning = failure
+            pooled = list(loader)
+        assert loader._pool is not None and loader._pool[0] == "process"
+        assert len(pooled) == len(serial) == 2
+        for (a, b), (c, d) in zip(serial, pooled):
+            np.testing.assert_array_equal(a, c)
+            np.testing.assert_array_equal(b, d)
+        # epoch 2 through the SAME live pool still matches a fresh inline run
+        serial2 = list(Loader(ds, batch_size=4, num_workers=0, seed=7))[0]
+        pooled2 = list(loader)  # epoch advanced: order differs from epoch 1
+        serial_l2 = Loader(ds, batch_size=4, num_workers=0, seed=7)
+        list(serial_l2)
+        serial_e2 = list(serial_l2)
+        for (a, b), (c, d) in zip(serial_e2, pooled2):
+            np.testing.assert_array_equal(a, c)
+            np.testing.assert_array_equal(b, d)
+        del serial2
+
+    def test_process_pool_slot_exhaustion_raises(self):
+        raws, labels = make_dataset_arrays(32, (64, 64))
+        ds = ImageCollectionDataset(raws, labels, patch_shape=(32, 32))
+        loader = Loader(
+            ds, batch_size=4, num_workers=2, seed=3, force_workers=True
+        )
+        it1 = iter(loader)
+        next(it1)  # pool live; prefetch depth keeps most slots in flight
+        it2 = iter(loader)
+        with pytest.raises(RuntimeError, match="no free shared-memory slot"):
+            for _ in it2:
+                pass
+        # draining the first iterator returns every slot
+        for _ in it1:
+            pass
+        assert sorted(loader._free_slots) == list(range(loader._n_slots))
+        # and a fresh iterator works again end to end
+        assert len(list(loader)) == 8
+
+    def test_unpicklable_dataset_falls_back_to_threads_with_warning(self):
+        ds = _UnpicklableDataset(self._dataset())
+        serial = list(Loader(ds, batch_size=4, num_workers=0, seed=5))
+        loader = Loader(
+            ds, batch_size=4, num_workers=2, seed=5, force_workers=True
+        )
+        with pytest.warns(RuntimeWarning, match="falling back to thread"):
+            pooled = list(loader)
+        assert loader._pool is not None and loader._pool[0] == "thread"
+        for (a, b), (c, d) in zip(serial, pooled):
+            np.testing.assert_array_equal(a, c)
+            np.testing.assert_array_equal(b, d)
+
+
 class TestReviewRegressions:
     """Regressions for the round-2 review findings (data path)."""
 

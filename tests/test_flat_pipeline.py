@@ -215,25 +215,6 @@ class TestFlatModelPath:
             )
         np.testing.assert_allclose(out, ref, rtol=1e-4, atol=1e-4)
 
-    def test_mc_decode_logits_paired_matches_default(self, monkeypatch):
-        """PDA_MC_PAIR=1 (sample pairs lane-packed with block-diagonal mids)
-        must reproduce the default per-sample tail exactly."""
-        from pda.models.punet import mc_decode_logits
-
-        x = _img((2, 32, 32, 1))
-        model = self._model()
-        params = model.init(
-            jax.random.PRNGKey(0), x, jnp.zeros_like(x)
-        )["params"]
-        key = jax.random.PRNGKey(9)
-        monkeypatch.setenv("PDA_PALLAS_CONV", "0")
-        enc = model.apply({"params": params}, x, method="encode")
-        monkeypatch.setenv("PDA_MC_PAIR", "0")
-        ref = mc_decode_logits(model, params, enc.features, enc.prior, key, 4)
-        monkeypatch.setenv("PDA_MC_PAIR", "1")
-        out = mc_decode_logits(model, params, enc.features, enc.prior, key, 4)
-        np.testing.assert_allclose(out, ref, rtol=1e-5, atol=1e-6)
-
 
 class TestPoolMatmulForm:
     def test_pool_mm_matches_reduce_form(self, monkeypatch):
@@ -266,38 +247,5 @@ class TestPoolMatmulForm:
 
         a = run("0")
         b = run("1")
-        for u, v in zip(a, b):
-            np.testing.assert_allclose(u, v, atol=1e-5)
-
-
-class TestUnpackMatmulForm:
-    def test_unpack_mm_matches_relayout_form(self, monkeypatch):
-        """PDA_UNPACK_MM (matmul-formulated packed-flat -> image unpack) is
-        numerically identical to the default relayout reshape, values and
-        gradients, at a c>=64 geometry (the knob's eligibility gate) —
-        the KNOBS.md-claimed equivalence pin (ADVICE r3 low #4)."""
-        import jax
-        import jax.numpy as jnp
-
-        from pda.models import flat_ops
-
-        rng = np.random.default_rng(1)
-        h, w, c = 16, 24, 64
-        x = jnp.asarray(rng.normal(size=(2, h, w, c)).astype(np.float32))
-        xfp = flat_ops.to_flat_packed(x)
-
-        def run(flag):
-            monkeypatch.setenv("PDA_UNPACK_MM", flag)
-            f = lambda a: jnp.sum(  # noqa: E731
-                flat_ops.from_flat_packed(a, h, w) ** 2
-            )
-            return (
-                np.asarray(flat_ops.from_flat_packed(xfp, h, w)),
-                np.asarray(jax.grad(f)(xfp)),
-            )
-
-        a = run("0")
-        b = run("1")
-        np.testing.assert_array_equal(a[0].shape, x.shape)
         for u, v in zip(a, b):
             np.testing.assert_allclose(u, v, atol=1e-5)
