@@ -87,6 +87,14 @@ DTYPE = {"f32": jnp.float32, "bf16": jnp.bfloat16}[
 RECORDED_VS_BASELINE = 2.29  # round-4 live measurement (warm-cache full run)
 RECORDED_DEVICE_KIND = "TPU v5 lite"  # jax.devices()[0].device_kind at measurement
 
+# Useful-FLOPs floor of the fused MT step at the DEFAULT config (512^2, bs 2,
+# MC-16, bf16, flagship filters): 6.9 TFLOP/step (device-trace roofline audit,
+# IMPLEMENTATION_STATUS.md round-2; includes the packed kernels' 1.33x MXU
+# overwork) against v5e peak 197 TFLOP/s bf16 => ~35 ms. Used ONLY to report
+# extra.whole_step_mxu_util = floor_ms / device_ms at the default config.
+USEFUL_TFLOP_PER_STEP = 6.9
+V5E_PEAK_TFLOPS_BF16 = 197.0
+
 
 def build():
     from pda.models import ProbabilisticUnet
@@ -197,15 +205,80 @@ def fence(state):
     float(np.asarray(leaf.ravel()[0]))
 
 
-def timed(run, state, batch, iters):
+def timed(run, state, batch, iters, repeats=3, min_budget_s=20.0):
+    """Median over ``repeats`` timing loops of ``iters`` steps each.
+
+    A single loop's mean wobbles run-to-run by up to ~15% on this platform
+    (VERDICT r4 weak #2: the official vs_baseline swung across the 2x line
+    on single measurements); the median of >= 3 loops is the reported
+    number. Later repeats are skipped if the deadline approaches."""
     for _ in range(WARMUP):
         state = run(state, batch)
     fence(state)
-    t0 = time.perf_counter()
-    for _ in range(iters):
-        state = run(state, batch)
-    fence(state)
-    return (time.perf_counter() - t0) / iters, state
+    times = []
+    for r in range(repeats):
+        if times and remaining() < min_budget_s:
+            break  # keep what we have rather than blow the deadline
+        t0 = time.perf_counter()
+        for _ in range(iters):
+            state = run(state, batch)
+        fence(state)
+        times.append((time.perf_counter() - t0) / iters)
+    return float(np.median(times)), state
+
+
+def device_ms_per_step(step, state, batch, n_steps=4):
+    """Device-trace-derived ms/step: total leaf-op device time under
+    ``jax.profiler`` divided by the traced step count (the same extraction
+    as development/profile_step.py — wall ms/step includes host dispatch
+    through the axon tunnel; this number is the honest device clock)."""
+    import collections
+    import glob
+    import gzip
+    import re
+    import shutil
+    import tempfile
+
+    out = tempfile.mkdtemp(prefix="pda_bench_trace_")
+    try:
+        jax.profiler.start_trace(out)
+        for _ in range(n_steps):
+            state, _ = step(state, *batch)
+        fence(state)
+        jax.profiler.stop_trace()
+        traces = sorted(
+            glob.glob(os.path.join(out, "**", "*.trace.json.gz"),
+                      recursive=True)
+        )
+        if not traces:
+            return None, state
+        with gzip.open(traces[-1], "rt") as f:
+            data = json.load(f)
+        events = [e for e in data.get("traceEvents", [])
+                  if e.get("ph") == "X" and "dur" in e]
+        pid_names = {}
+        for e in data.get("traceEvents", []):
+            if e.get("ph") == "M" and e.get("name") == "process_name":
+                pid_names[e["pid"]] = e["args"].get("name", "")
+        device_pids = {pid for pid, name in pid_names.items() if "TPU" in name}
+        if not device_pids:
+            by_pid = collections.defaultdict(float)
+            for e in events:
+                by_pid[e["pid"]] += e["dur"]
+            if not by_pid:
+                return None, state
+            device_pids = {max(by_pid, key=by_pid.get)}
+        total_us = 0.0
+        for e in events:
+            if e["pid"] not in device_pids:
+                continue
+            name = e.get("name", "?")
+            if name.startswith("jit_") or re.fullmatch(r"\d+", name):
+                continue  # module envelopes / step-number lanes
+            total_us += e["dur"]
+        return (total_us / 1e3) / n_steps, state
+    finally:
+        shutil.rmtree(out, ignore_errors=True)
 
 
 def main():
@@ -223,6 +296,24 @@ def main():
 
     t_fused, state = timed(run_fused, state, batch, ITERS)
     patches_per_sec = BATCH / t_fused
+
+    # Device-trace clock (VERDICT r4 item 2): leaf-op device ms/step + MXU
+    # utilization against the audited useful-FLOPs floor. Budget-gated; the
+    # trace costs a few seconds on a warm step.
+    device_ms = None
+    mxu_util = None
+    if remaining() > float(os.environ.get("PDA_BENCH_TRACE_BUDGET_S", 240)):
+        try:
+            device_ms, state = device_ms_per_step(step, state, batch)
+        except Exception:
+            import traceback
+
+            traceback.print_exc()  # never lose the primary metric
+    if device_ms:
+        floor_ms = USEFUL_TFLOP_PER_STEP / V5E_PEAK_TFLOPS_BF16 * 1e3
+        if (BATCH == 2 and HW == 512 and DTYPE == jnp.bfloat16
+                and jax.devices()[0].device_kind == RECORDED_DEVICE_KIND):
+            mxu_util = floor_ms / device_ms
     del state  # free HBM before the baseline builds its own state
 
     # The naive baseline needs ~5 extra program compiles + first-exec loads
@@ -289,7 +380,11 @@ def main():
     # punet_predictions.py:44-46) when budget remains; its program comes from
     # the same persistent cache. Reported as "extra" so the driver's primary
     # metric line stays unchanged.
-    extra = None
+    extra = {}
+    if device_ms is not None:
+        extra["device_ms_per_step"] = round(device_ms, 2)
+    if mxu_util is not None:
+        extra["whole_step_mxu_util"] = round(mxu_util, 3)
     if (remaining() > float(os.environ.get("PDA_BENCH_INFER_BUDGET_S", 120))
             and os.environ.get("PDA_BENCH_SKIP_INFER") != "1"):
         try:
@@ -318,16 +413,30 @@ def main():
 
             out = run_infer()
             float(np.asarray(out).ravel()[0])  # true sync
-            t0 = time.perf_counter()
-            iters_i = 20
-            for _ in range(iters_i):
-                out = run_infer()
-            float(np.asarray(out).ravel()[0])
-            dt = (time.perf_counter() - t0) / iters_i
-            extra = {
-                "mc16_tiles_per_sec": round(n_tiles / dt, 1),
-                "mc16_frames_per_sec": round(1.0 / dt, 2),
-            }
+            # median of 3 loops, same discipline as the train-step timing
+            times_i = []
+            iters_i = 10
+            for _ in range(3):
+                if times_i and remaining() < 30:
+                    break
+                t0 = time.perf_counter()
+                for _ in range(iters_i):
+                    out = run_infer()
+                float(np.asarray(out).ravel()[0])
+                times_i.append((time.perf_counter() - t0) / iters_i)
+            dt = float(np.median(times_i))
+            extra.update(
+                mc16_tiles_per_sec=round(n_tiles / dt, 1),
+                mc16_frames_per_sec=round(1.0 / dt, 2),
+            )
+            # regression guard vs the recorded round-3 measurement (112.1
+            # tiles/s, development/bench_infer.py) — a >10% drop rides into
+            # the artifact FLAGGED instead of unexamined (VERDICT r4 weak 4)
+            recorded_tiles = 112.1
+            if n_tiles / dt < 0.9 * recorded_tiles:
+                extra["mc16_regression_vs_recorded"] = round(
+                    (n_tiles / dt) / recorded_tiles - 1.0, 3
+                )
         except Exception:
             import traceback
 
@@ -343,7 +452,7 @@ def main():
                     round(vs_baseline, 3) if vs_baseline is not None else None
                 ),
                 "vs_baseline_source": source,
-                "extra": extra,
+                "extra": extra or None,
             }
         ),
         flush=True,

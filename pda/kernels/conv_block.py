@@ -73,6 +73,23 @@ def _round16(n: int) -> int:
     return ((n + 15) // 16) * 16
 
 
+def carry_enabled() -> bool:
+    """Default for the forward kernels' tail-carry (skewed-band) pipeline
+    (PDA_PALLAS_CARRY; see _kernel). Off until measured on hardware."""
+    import os
+
+    return os.environ.get("PDA_PALLAS_CARRY", "0") == "1"
+
+
+def _carry_scratch(wp: int, c: int, dtype):
+    """Per-layer trailing-row carry buffers: 6/4/2 rows of h1/h2/h3."""
+    return [
+        pltpu.VMEM((6 * wp, c), dtype),
+        pltpu.VMEM((4 * wp, c), dtype),
+        pltpu.VMEM((2 * wp, c), dtype),
+    ]
+
+
 def canvas_wp(w: int) -> int:
     return _round16(w + 2 * MARGIN)
 
@@ -165,6 +182,7 @@ def _kernel(
     save_intermediates: bool = False,
     flat_input: bool = False,
     flat_parts: int = 1,
+    carry: bool = False,
 ):
     if flat_input:
         in_refs = refs[: 3 * flat_parts]
@@ -173,10 +191,14 @@ def _kernel(
         xc_ref, xh_ref = refs[:2]
         refs = refs[2:]
     (w1_ref, b1_ref, w2_ref, b2_ref, w3_ref, b3_ref, o_ref, *rest) = refs
+    if carry:
+        c1_ref, c2_ref, c3_ref = rest[-3:]
+        rest = rest[:-3]
     n = pl.program_id(1)  # band index within the image
     nb = pl.num_programs(1)
 
-    def layer(h, w_ref, b_ref, l_out: int, tail: int, shift: int, mask: bool):
+    def layer(h, w_ref, b_ref, l_out: int, tail: int, shift: int, mask: bool,
+              p0: int = 0):
         n_out = l_out + tail
         cin = h.shape[-1]
         if 3 * cin <= 256:
@@ -204,9 +226,12 @@ def _kernel(
                + r[2:n_out + 2, 2 * c:3 * c])
         out = jnp.maximum(acc + b_ref[0][None, :], 0.0)
         if mask:
-            # buffer index b holds canvas flat position q = b + shift; this
-            # layer's canvas rows start at `shift`
-            q = jax.lax.broadcasted_iota(jnp.int32, (n_out, 1), 0) + shift
+            # buffer index b holds canvas flat position q = b + p0 + shift;
+            # this layer's canvas rows start at `shift`. ``p0``: start offset
+            # of a partial (carry-mode fresh-region) computation within the
+            # layer's full buffer — a whole number of rows.
+            q = (jax.lax.broadcasted_iota(jnp.int32, (n_out, 1), 0)
+                 + (p0 + shift))
             # exact floor(q / wp) without integer division (slow VPU op):
             # float multiply by 1/wp then one correction step; exact for
             # q < 2^24 (band flat sizes are ~1e6)
@@ -240,11 +265,52 @@ def _kernel(
         x = parts[0] if flat_parts == 1 else jnp.concatenate(parts, axis=-1)
     else:
         x = assemble_band(xc_ref, xh_ref, dtype)
-    h1 = layer(x, w1_ref, b1_ref, (rt + 6) * wp, TAILS[0], 1, True)
-    h2 = layer(h1, w2_ref, b2_ref, (rt + 4) * wp, TAILS[1], 2, True)
-    # h3 IS masked: the flat pipeline feeds this output straight into the
-    # next kernel / flat op, whose stencils rely on exact-zero ring columns
-    h3 = layer(h2, w3_ref, b3_ref, (rt + 2) * wp, TAILS[2], 3, True)
+    if not carry:
+        h1 = layer(x, w1_ref, b1_ref, (rt + 6) * wp, TAILS[0], 1, True)
+        h2 = layer(h1, w2_ref, b2_ref, (rt + 4) * wp, TAILS[1], 2, True)
+        # h3 IS masked: the flat pipeline feeds this output straight into
+        # the next kernel / flat op, whose stencils rely on exact-zero ring
+        # columns
+        h3 = layer(h2, w3_ref, b3_ref, (rt + 2) * wp, TAILS[2], 3, True)
+    else:
+        # Tail-carry (skewed-band) pipeline: each layer's first rows come
+        # from VMEM scratch carried over from the previous band (which
+        # computed them as its own trailing rows), so each band runs exactly
+        # rt fresh rows per layer instead of rt+6/rt+4/rt+2 — the per-band
+        # halo recompute (~17% of forward MXU work at rt=32) is gone. The
+        # assembled buffers are value-identical to the non-carry path's
+        # h1/h2/h3. Requires sequential band iteration (guaranteed: no
+        # 'parallel' dimension semantics are emitted, see _compiler_params)
+        # and resets at n == 0 for each batch image via the head computes.
+        @pl.when(n == 0)
+        def _():  # head rows [0, 6) of h1 — only the first band computes them
+            c1_ref[:] = layer(x, w1_ref, b1_ref, 6 * wp, 0, 1, True)
+
+        h1 = jnp.concatenate(
+            [c1_ref[:], layer(x[6 * wp :], w1_ref, b1_ref, rt * wp,
+                              TAILS[0], 1, True, p0=6 * wp)],
+            axis=0,
+        )
+
+        @pl.when(n == 0)
+        def _():  # head rows [0, 4) of h2
+            c2_ref[:] = layer(h1, w2_ref, b2_ref, 4 * wp, 0, 2, True)
+
+        h2 = jnp.concatenate(
+            [c2_ref[:], layer(h1[4 * wp :], w2_ref, b2_ref, rt * wp,
+                              TAILS[1], 2, True, p0=4 * wp)],
+            axis=0,
+        )
+
+        @pl.when(n == 0)
+        def _():  # head rows [0, 2) of h3
+            c3_ref[:] = layer(h2, w3_ref, b3_ref, 2 * wp, 0, 3, True)
+
+        h3 = jnp.concatenate(
+            [c3_ref[:], layer(h2[2 * wp :], w3_ref, b3_ref, rt * wp,
+                              TAILS[2], 3, True, p0=2 * wp)],
+            axis=0,
+        )
     # own output rows [4, rt+4): slice the base-3 buffer at idx(3, 4, 0)
     o_ref[0] = h3[wp - 3 : wp - 3 + rt * wp, :]
     if save_intermediates:
@@ -253,6 +319,15 @@ def _kernel(
         h1_ref, h2_ref = rest
         h1_ref[0] = h1[3 * wp - 1 : 3 * wp - 1 + rt * wp, :]
         h2_ref[0] = h2[2 * wp - 2 : 2 * wp - 2 + rt * wp, :]
+    if carry:
+        # hand this band's trailing rows to the next band (the last band of
+        # an image updates too — harmless: the next image's n==0 heads
+        # overwrite before any read)
+        @pl.when(n < nb - 1)
+        def _():
+            c1_ref[:] = h1[rt * wp : (rt + 6) * wp]
+            c2_ref[:] = h2[rt * wp : (rt + 4) * wp]
+            c3_ref[:] = h3[rt * wp : (rt + 2) * wp]
 
 
 def conv_block_fused_canvas(
@@ -263,6 +338,7 @@ def conv_block_fused_canvas(
     row_tile: int = 16,
     interpret: bool = False,
     save_intermediates: bool = False,
+    carry: bool | None = None,
 ):
     """Fused block forward on a prebuilt canvas. Returns the margin-0 flat
     output (B, H*wp, C), or (out, h1_m0, h2_m0) when ``save_intermediates``
@@ -277,9 +353,12 @@ def conv_block_fused_canvas(
     wp = canvas_wp(w)
     dtype = xc.dtype
 
+    if carry is None:
+        carry = carry_enabled()
+    carry = bool(carry) and nb > 1
     kernel = functools.partial(
         _kernel, rt=rt, wp=wp, h_img=h, w_img=w, dtype=dtype,
-        save_intermediates=save_intermediates,
+        save_intermediates=save_intermediates, carry=carry,
     )
     core, halo = band_views(rt, wp, cin)
     wspec = pl.BlockSpec(memory_space=pltpu.VMEM)
@@ -293,6 +372,7 @@ def conv_block_fused_canvas(
         in_specs=[core, halo, wspec, wspec, wspec, wspec, wspec, wspec],
         out_specs=(ospec, ospec, ospec) if save_intermediates else ospec,
         out_shape=(oshape, oshape, oshape) if save_intermediates else oshape,
+        scratch_shapes=_carry_scratch(wp, c, dtype) if carry else [],
         compiler_params=_compiler_params(),
         interpret=interpret,
     )(
@@ -312,6 +392,7 @@ def conv_block_fused_flat(
     row_tile: int = 16,
     interpret: bool = False,
     save_intermediates: bool = False,
+    carry: bool | None = None,
 ):
     """Fused block forward reading a MARGIN-0 flat directly (clamped
     three-view band reads — no margin-4 canvas is ever materialized in XLA).
@@ -328,9 +409,12 @@ def conv_block_fused_flat(
     wp = canvas_wp(w)
     dtype = xf.dtype
 
+    if carry is None:
+        carry = carry_enabled()
+    carry = bool(carry) and nb > 1
     kernel = functools.partial(
         _kernel, rt=rt, wp=wp, h_img=h, w_img=w, dtype=dtype,
-        save_intermediates=save_intermediates, flat_input=True,
+        save_intermediates=save_intermediates, flat_input=True, carry=carry,
     )
     xup, xcore, xdown = flat_views(rt, wp, cin, nb)
     wspec = pl.BlockSpec(memory_space=pltpu.VMEM)
@@ -344,6 +428,7 @@ def conv_block_fused_flat(
         in_specs=[xup, xcore, xdown, wspec, wspec, wspec, wspec, wspec, wspec],
         out_specs=(ospec, ospec, ospec) if save_intermediates else ospec,
         out_shape=(oshape, oshape, oshape) if save_intermediates else oshape,
+        scratch_shapes=_carry_scratch(wp, c, dtype) if carry else [],
         compiler_params=_compiler_params(),
         interpret=interpret,
     )(
@@ -364,6 +449,7 @@ def conv_block_fused_flat_dual(
     row_tile: int = 16,
     interpret: bool = False,
     save_intermediates: bool = False,
+    carry: bool | None = None,
 ):
     """Fused block forward whose input is the channel concat [xa | xb],
     assembled per band in VMEM — the concatenated (B, H*wp, Ca+Cb) tensor
@@ -380,9 +466,13 @@ def conv_block_fused_flat_dual(
     wp = canvas_wp(w)
     dtype = xa.dtype
 
+    if carry is None:
+        carry = carry_enabled()
+    carry = bool(carry) and nb > 1
     kernel = functools.partial(
         _kernel, rt=rt, wp=wp, h_img=h, w_img=w, dtype=dtype,
         save_intermediates=save_intermediates, flat_input=True, flat_parts=2,
+        carry=carry,
     )
     aup, acore, adown = flat_views(rt, wp, xa.shape[-1], nb)
     bup, bcore, bdown = flat_views(rt, wp, xb.shape[-1], nb)
@@ -398,6 +488,7 @@ def conv_block_fused_flat_dual(
                   wspec, wspec, wspec, wspec, wspec, wspec],
         out_specs=(ospec, ospec, ospec) if save_intermediates else ospec,
         out_shape=(oshape, oshape, oshape) if save_intermediates else oshape,
+        scratch_shapes=_carry_scratch(wp, c, dtype) if carry else [],
         compiler_params=_compiler_params(),
         interpret=interpret,
     )(

@@ -92,6 +92,44 @@ class TestConvBlockKernel:
         )
         np.testing.assert_allclose(out, ref, rtol=1e-4, atol=1e-5)
 
+    @pytest.mark.parametrize("entry", ["canvas", "flat", "dual"])
+    def test_tail_carry_pipeline_bit_identical(self, entry):
+        """PDA_PALLAS_CARRY (skewed-band tail-carry forward): the carried
+        h1/h2/h3 rows reproduce the non-carry kernels EXACTLY — every entry
+        point, multi-band grids, batch > 1 (n==0 reset), intermediates."""
+        from pda.kernels import conv_block as cb
+
+        h, w, cin, c, rt = 64, 48, 4, 8, 16
+        rng = np.random.default_rng(3)
+        x = jnp.asarray(rng.normal(size=(2, h, w, cin)).astype(np.float32))
+        ws = []
+        for ci, co in ((cin, c), (c, c), (c, c)):
+            ws += [
+                jnp.asarray(
+                    rng.normal(size=(3, 3, ci, co)).astype(np.float32) * 0.2
+                ),
+                jnp.asarray(rng.normal(size=(co,)).astype(np.float32) * 0.1),
+            ]
+        wp = cb.canvas_wp(w)
+        if entry == "canvas":
+            xc = cb.canvas_flat(x, wp)
+            run = lambda carry: (cb.conv_block_fused_canvas(  # noqa: E731
+                xc, h, w, *ws, row_tile=rt, interpret=True, carry=carry
+            ),)
+        elif entry == "flat":
+            xf = cb.flat_m0(x, wp)
+            run = lambda carry: cb.conv_block_fused_flat(  # noqa: E731
+                xf, h, w, *ws, row_tile=rt, interpret=True, carry=carry,
+                save_intermediates=True,
+            )
+        else:
+            xa, xb = cb.flat_m0(x[..., :2], wp), cb.flat_m0(x[..., 2:], wp)
+            run = lambda carry: (cb.conv_block_fused_flat_dual(  # noqa: E731
+                xa, xb, h, w, *ws, row_tile=rt, interpret=True, carry=carry
+            ),)
+        for a, b_ in zip(run(False), run(True)):
+            np.testing.assert_array_equal(np.asarray(a), np.asarray(b_))
+
 
 class TestConvBlockBwdKernel:
     """Fused backward kernel (pda/kernels/conv_block_bwd.py) vs autodiff.

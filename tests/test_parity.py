@@ -568,3 +568,244 @@ class TestTrainingParity:
             f"{abs(dice_ref - dice_pda):.4f} exceeds 0.5 pt + 2*SE "
             f"({bound:.4f}; ref {dice_ref:.4f} vs pda {dice_pda:.4f})"
         )
+
+
+@pytest.mark.heavy
+class TestMeanTeacherTrainingParity:
+    """Self-training-loop parity (VERDICT r4 item 6): the FLAGSHIP algorithm
+    (MeanTeacherTrainer, mean_teacher_trainer.py:95-140) trained end-to-end
+    on both sides from the SAME converted warm start — reference torch MT
+    loop (teacher MC-16 pseudo + consensus weighting, student ELBO(y,z) +
+    1e-5 l2, EMA 0.999) vs ``pda`` ``make_mean_teacher_step`` — with the
+    final student gt-Dice on a shifted target domain compared under the
+    seed-averaged 0.5 pt + 2*SE bound (the calibration established by
+    TestTrainingParity, PARITY.md round-4).
+
+    Identical inputs per step on both sides (the two augmented views are
+    precomputed numpy arrays); the latent/teacher draw RNG streams are
+    framework-specific, hence the statistical (not bitwise) bound.
+    """
+
+    FILTERS = (16, 16, 16, 16)
+    HW = 64
+    N_SRC_STEPS = 120
+    N_MT_STEPS = 150
+    SRC_LR = 1e-3
+    MT_LR = 3e-4
+    N_VAL_MC = 8
+    SEEDS = (123, 321, 777)
+
+    # -- data ---------------------------------------------------------------
+
+    def _standardize(self, x):
+        return (x - x.mean()) / (x.std() + 1e-7)
+
+    def _source(self):
+        from pda.data.synthetic import make_dataset_arrays
+
+        raws, labels = make_dataset_arrays(10, (self.HW, self.HW), seed=3)
+        xs = np.stack([self._standardize(r) for r in raws]).astype(np.float32)
+        ys = np.stack(labels).astype(np.float32)
+        rng = np.random.default_rng(11)
+        order = rng.integers(0, 10, size=(self.N_SRC_STEPS, 2))
+        return [(xs[i][..., None], ys[i][..., None]) for i in order]
+
+    def _target(self):
+        """Target domain: same task, shifted appearance (intensity ramp +
+        gamma) — the reference's cross-cell-type transfer analog."""
+        from pda.data.synthetic import make_dataset_arrays
+
+        raws, labels = make_dataset_arrays(12, (self.HW, self.HW), seed=13)
+        ramp = np.linspace(0.0, 0.6, self.HW, dtype=np.float32)[None, :]
+        shifted = [
+            self._standardize(np.sqrt(np.clip(r, 0, None) + 0.05) + ramp)
+            for r in raws
+        ]
+        xs = np.stack(shifted).astype(np.float32)[..., None]
+        ys = np.stack(labels).astype(np.float32)[..., None]
+        rng = np.random.default_rng(29)
+        batches = []
+        for s in range(self.N_MT_STEPS):
+            idx = rng.integers(0, 10, size=2)
+            x = xs[idx]
+            noise = rng.normal(scale=0.08, size=(2, *x.shape[1:], 2)).astype(
+                np.float32
+            )
+            batches.append(
+                (x, x + noise[..., 0], x + noise[..., 1], ys[idx])
+            )
+        val = (xs[10:], ys[10:])
+        return batches, val
+
+    @staticmethod
+    def _soft_dice(pred, gt):
+        return float(2 * np.sum(gt * pred) / (np.sum(gt) + np.sum(pred) + 1e-7))
+
+    # -- torch side ---------------------------------------------------------
+
+    def _warm_start(self, RefPUNet, source):
+        """Supervised source training on the torch side ONCE; the converted
+        state dict is the shared warm start for every seed on both sides."""
+        torch.manual_seed(0)
+        ref = RefPUNet(
+            input_channels=1, num_classes=1, num_filters=list(self.FILTERS),
+            no_convs_fcomb=N_FCOMB, beta=1.0, rl_swap=True,
+        )
+        opt = torch.optim.Adam(ref.parameters(), lr=self.SRC_LR)
+        l2 = lambda m: sum(W.norm(2) for W in m.parameters())  # noqa: E731
+        ref.train()
+        torch.manual_seed(42)
+        for x, y in source:
+            opt.zero_grad()
+            ref.forward(_t(x), _t(y), training=True)
+            loss = -ref.elbo(_t(y)) + 1e-5 * (
+                l2(ref.posterior) + l2(ref.prior) + l2(ref.fcomb.layers)
+            )
+            loss.backward()
+            opt.step()
+        return {k: v.detach().clone() for k, v in ref.state_dict().items()}
+
+    def _mt_reference(self, RefPUNet, warm, batches, val, seed):
+        import copy
+
+        def build():
+            torch.manual_seed(0)
+            m = RefPUNet(
+                input_channels=1, num_classes=1,
+                num_filters=list(self.FILTERS), no_convs_fcomb=N_FCOMB,
+                beta=1.0, rl_swap=True, consensus_masking=True,
+            )
+            m.load_state_dict(warm)
+            return m
+
+        student = build()
+        teacher = copy.deepcopy(student)
+        for p in teacher.parameters():
+            p.requires_grad = False
+        opt = torch.optim.Adam(student.parameters(), lr=self.MT_LR)
+        l2 = lambda m: sum(W.norm(2) for W in m.parameters())  # noqa: E731
+        torch.manual_seed(seed)
+        student.train()
+        for x, x1, x2, gt in batches:
+            with torch.no_grad():
+                teacher.forward(_t(x1), None, training=False)
+                samples = [
+                    torch.sigmoid(teacher.sample()) for _ in range(16)
+                ]
+                cons = [
+                    ((s >= 0.9) | (s <= 0.1)).float() for s in samples
+                ]
+                y = torch.stack(samples, 0).mean(0)
+                z = torch.stack(cons, 0).mean(0)
+            opt.zero_grad()
+            student.forward(_t(x2), y, training=True)
+            loss = -student.elbo(y, z) + 1e-5 * (
+                l2(student.posterior) + l2(student.prior)
+                + l2(student.fcomb.layers)
+            )
+            loss.backward()
+            opt.step()
+            with torch.no_grad():  # EMA after the step, momentum 0.999
+                for p, pt in zip(student.parameters(), teacher.parameters()):
+                    pt.data = pt.data * 0.999 + p.data * 0.001
+        student.eval()
+        dices = []
+        with torch.no_grad():
+            xv, yv = val
+            for i in range(xv.shape[0]):
+                student.forward(_t(xv[i : i + 1]), None, training=False)
+                probs = torch.stack(
+                    [
+                        torch.sigmoid(student.sample(testing=False))
+                        for _ in range(self.N_VAL_MC)
+                    ]
+                ).mean(0)
+                dices.append(
+                    self._soft_dice(probs.numpy().squeeze(), yv[i].squeeze())
+                )
+        return float(np.mean(dices))
+
+    # -- pda side -----------------------------------------------------------
+
+    def _mt_pda(self, warm_params, batches, val, seed):
+        from pda.train.optim import adam
+        from pda.train.state import create_train_state
+        from pda.train.steps import make_mean_teacher_step
+
+        model = ProbabilisticUnet(
+            input_channels=1, num_classes=1, num_filters=self.FILTERS,
+            no_convs_fcomb=N_FCOMB, beta=1.0, rl_swap=True,
+            consensus_masking=True,
+        )
+        tx = adam(self.MT_LR)
+        state = create_train_state(
+            warm_params, tx, jax.random.PRNGKey(seed), with_teacher=True
+        )
+        step = jax.jit(
+            make_mean_teacher_step(model, tx, do_consensus_masking=False)
+        )
+        for x, x1, x2, gt in batches:
+            state, _ = step(
+                state, jnp.asarray(x), jnp.asarray(x1), jnp.asarray(x2),
+                jnp.asarray(gt),
+            )
+        dices = []
+        key = jax.random.PRNGKey(7)
+        xv, yv = val
+        for i in range(xv.shape[0]):
+            enc = model.apply(
+                {"params": state.params}, jnp.asarray(xv[i : i + 1]),
+                method="encode",
+            )
+            key, k = jax.random.split(key)
+            zs = enc.prior.sample_n(k, self.N_VAL_MC)
+
+            def _decode(z, _enc=enc):
+                return model.apply(
+                    {"params": state.params}, _enc.features, z,
+                    method="decode",
+                )
+
+            probs = jnp.mean(jax.nn.sigmoid(jax.vmap(_decode)(zs)), axis=0)
+            dices.append(
+                self._soft_dice(np.asarray(probs).squeeze(), yv[i].squeeze())
+            )
+        return float(np.mean(dices))
+
+    # -- the pin ------------------------------------------------------------
+
+    def test_mt_trained_gt_dice_parity(self):
+        if not REFERENCE.exists():
+            pytest.skip("reference snapshot not mounted")
+        RefPUNet = _load_reference_punet(fixed_wiring=False)
+        source = self._source()
+        batches, val = self._target()
+        warm = self._warm_start(RefPUNet, source)
+        warm_params = jax.tree_util.tree_map(
+            jnp.asarray,
+            convert_punet_state_dict(
+                warm, num_filters=self.FILTERS, no_convs_fcomb=N_FCOMB
+            ),
+        )
+        dices_ref, dices_pda = [], []
+        for seed in self.SEEDS:
+            dices_ref.append(
+                self._mt_reference(RefPUNet, warm, batches, val, seed)
+            )
+            dices_pda.append(self._mt_pda(warm_params, batches, val, seed))
+        dice_ref, dice_pda = float(np.mean(dices_ref)), float(np.mean(dices_pda))
+        n = len(self.SEEDS)
+        se = float(np.sqrt(np.var(dices_ref, ddof=1) / n
+                           + np.var(dices_pda, ddof=1) / n))
+        bound = 0.005 + 2.0 * se
+        print(f"\nMT self-training parity (seeds {self.SEEDS}): "
+              f"reference gt-dice={dice_ref:.4f} ({dices_ref}) "
+              f"pda gt-dice={dice_pda:.4f} ({dices_pda}) "
+              f"delta={abs(dice_ref-dice_pda):.4f} bound={bound:.4f}")
+        assert dice_ref > 0.60, f"reference MT failed to learn: {dice_ref}"
+        assert dice_pda > 0.60, f"pda MT failed to learn: {dice_pda}"
+        assert abs(dice_ref - dice_pda) <= bound, (
+            f"MT seed-averaged gt-dice delta {abs(dice_ref - dice_pda):.4f} "
+            f"exceeds 0.5 pt + 2*SE ({bound:.4f}; "
+            f"ref {dice_ref:.4f} vs pda {dice_pda:.4f})"
+        )
