@@ -57,7 +57,7 @@ from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
 
-from .conv_block import _compiler_params
+from .conv_block import _compiler_params, carry_enabled
 
 MARGIN = 4          # zero-ring width in flat positions (even, >= 3-conv halo)
 HALO_IMG_ROWS = 8   # halo band height in image rows
@@ -68,6 +68,15 @@ TAILS = (16, 8, 0)  # per-layer packed-row output tails
 
 def _round32(n: int) -> int:
     return ((n + 31) // 32) * 32
+
+
+def _carry_scratch(wpp: int, c2: int, dtype):
+    """Per-layer trailing-row carry buffers: 6/4/2 packed rows of h1/h2/h3."""
+    return [
+        pltpu.VMEM((6 * wpp, c2), dtype),
+        pltpu.VMEM((4 * wpp, c2), dtype),
+        pltpu.VMEM((2 * wpp, c2), dtype),
+    ]
 
 
 def packed_wpp(w: int) -> int:
@@ -260,8 +269,11 @@ def _make_img_mask(wpp: int, rt: int, h_img: int, w_img: int):
     """Per-packed-row validity for base-b buffers (W, MARGIN even => the two
     flat positions of a pair share one validity bit)."""
 
-    def img_mask(n, n_out: int, base: int):
-        q = jax.lax.broadcasted_iota(jnp.int32, (n_out, 1), 0) + base * (wpp + 1)
+    def img_mask(n, n_out: int, base: int, p0: int = 0):
+        # ``p0``: start offset of a partial (carry-mode fresh-region)
+        # computation within the layer's full buffer (whole packed rows)
+        q = (jax.lax.broadcasted_iota(jnp.int32, (n_out, 1), 0)
+             + p0 + base * (wpp + 1))
         # exact floor(q / wpp) via float reciprocal + correction (no int div)
         qr = jnp.floor(q.astype(jnp.float32) * (1.0 / wpp)).astype(jnp.int32)
         cp = q - qr * wpp
@@ -283,6 +295,7 @@ def _kernel(
     save_intermediates: bool = False,
     flat_input: bool = False,
     dec_parts=None,  # (cu, cs): input is (ue, uo, skip) streams, dec_perm layout
+    carry: bool = False,
 ):
     flat_parts = 3 if dec_parts else 1
     if flat_input:
@@ -295,17 +308,21 @@ def _kernel(
      wc2_ref, wm2_ref, b2_ref,
      wc3_ref, wm3_ref, b3_ref,
      o_ref, *rest) = refs
+    if carry:
+        c1_ref, c2_ref, c3_ref = rest[-3:]
+        rest = rest[:-3]
     n = pl.program_id(1)
     nb = pl.num_programs(1)
     stencil = _make_stencil(wpp)
     img_mask = _make_img_mask(wpp, rt, h_img, w_img)
 
-    def layer(h, wc_ref, wm_ref, b_ref, l_out, tail, base, mask, top_pred=None):
+    def layer(h, wc_ref, wm_ref, b_ref, l_out, tail, base, mask,
+              top_pred=None, p0: int = 0):
         n_out = l_out + tail
         acc = stencil(h, wc_ref, wm_ref, l_out, 0, tail, top_pred=top_pred)
         out = jnp.maximum(acc + b_ref[0][None, :], 0.0)
         if mask:
-            out = jnp.where(img_mask(n, n_out, base), out, 0.0)
+            out = jnp.where(img_mask(n, n_out, base, p0), out, 0.0)
         return out.astype(dtype)
 
     top1 = None
@@ -326,17 +343,78 @@ def _kernel(
             top1 = dec_top_pred(*dec_parts)
     else:
         x = assemble_band(xc_ref, xh_ref, dtype)
-    h1 = layer(x, wc1_ref, wm1_ref, b1_ref, (rt + 6) * wpp, TAILS[0], 1, True,
-               top_pred=top1)
-    h2 = layer(h1, wc2_ref, wm2_ref, b2_ref, (rt + 4) * wpp, TAILS[1], 2, True)
-    # h3 IS masked: the flat pipeline feeds this output straight into the
-    # next kernel / flat op, whose stencils rely on exact-zero ring columns
-    h3 = layer(h2, wc3_ref, wm3_ref, b3_ref, (rt + 2) * wpp, TAILS[2], 3, True)
+    if not carry:
+        h1 = layer(x, wc1_ref, wm1_ref, b1_ref, (rt + 6) * wpp, TAILS[0], 1,
+                   True, top_pred=top1)
+        h2 = layer(h1, wc2_ref, wm2_ref, b2_ref, (rt + 4) * wpp, TAILS[1], 2,
+                   True)
+        # h3 IS masked: the flat pipeline feeds this output straight into
+        # the next kernel / flat op, whose stencils rely on exact-zero ring
+        # columns
+        h3 = layer(h2, wc3_ref, wm3_ref, b3_ref, (rt + 2) * wpp, TAILS[2], 3,
+                   True)
+    else:
+        # Tail-carry (skewed-band) pipeline — see conv_block._kernel: each
+        # layer's leading rows come from VMEM scratch carried from the
+        # previous band; each band computes exactly rt fresh rows/layer.
+        @pl.when(n == 0)
+        def _():
+            c1_ref[:] = layer(x, wc1_ref, wm1_ref, b1_ref, 6 * wpp, 0, 1,
+                              True, top_pred=top1)
+
+        h1 = jnp.concatenate(
+            [c1_ref[:], layer(x[6 * wpp :], wc1_ref, wm1_ref, b1_ref,
+                              rt * wpp, TAILS[0], 1, True, top_pred=top1,
+                              p0=6 * wpp)],
+            axis=0,
+        )
+
+        @pl.when(n == 0)
+        def _():
+            c2_ref[:] = layer(h1, wc2_ref, wm2_ref, b2_ref, 4 * wpp, 0, 2,
+                              True)
+
+        h2 = jnp.concatenate(
+            [c2_ref[:], layer(h1[4 * wpp :], wc2_ref, wm2_ref, b2_ref,
+                              rt * wpp, TAILS[1], 2, True, p0=4 * wpp)],
+            axis=0,
+        )
+
+        @pl.when(n == 0)
+        def _():
+            c3_ref[:] = layer(h2, wc3_ref, wm3_ref, b3_ref, 2 * wpp, 0, 3,
+                              True)
+
+        @pl.when(n != 0)
+        def _():
+            # The producer computed the carried h3's LAST entries from its
+            # h2 tail, which reads past its x band — in the packed layout
+            # one of those positions (packed col 2, the first in-image
+            # pair) survives the ring mask, unlike the unpacked kernel
+            # whose 4-col flat ring absorbs the whole garbage span.
+            # Recompute the last 8 carried entries from THIS band's
+            # (correct) assembled h2.
+            c3_ref[2 * wpp - 8 :, :] = layer(
+                h2[2 * wpp - 8 :], wc3_ref, wm3_ref, b3_ref, 8, 0, 3, True,
+                p0=2 * wpp - 8,
+            )
+
+        h3 = jnp.concatenate(
+            [c3_ref[:], layer(h2[2 * wpp :], wc3_ref, wm3_ref, b3_ref,
+                              rt * wpp, TAILS[2], 3, True, p0=2 * wpp)],
+            axis=0,
+        )
     o_ref[0] = h3[wpp - 3 : wpp - 3 + rt * wpp, :]
     if save_intermediates:
         h1_ref, h2_ref = rest
         h1_ref[0] = h1[3 * wpp - 1 : 3 * wpp - 1 + rt * wpp, :]
         h2_ref[0] = h2[2 * wpp - 2 : 2 * wpp - 2 + rt * wpp, :]
+    if carry:
+        @pl.when(n < nb - 1)
+        def _():
+            c1_ref[:] = h1[rt * wpp : (rt + 6) * wpp]
+            c2_ref[:] = h2[rt * wpp : (rt + 4) * wpp]
+            c3_ref[:] = h3[rt * wpp : (rt + 2) * wpp]
 
 
 def conv_block_packed_canvas(
@@ -347,6 +425,7 @@ def conv_block_packed_canvas(
     row_tile: int = 32,
     interpret: bool = False,
     save_intermediates: bool = False,
+    carry: bool | None = None,
 ):
     """Fused packed block forward on a prebuilt canvas. Returns the packed
     margin-0 flat output (B, H*wpp, 2C) (plus packed h1, h2 flats when
@@ -360,9 +439,12 @@ def conv_block_packed_canvas(
     wpp = packed_wpp(w)
     dtype = xc.dtype
 
+    if carry is None:
+        carry = carry_enabled()
+    carry = bool(carry) and nb > 1
     kernel = functools.partial(
         _kernel, rt=rt, wpp=wpp, h_img=h, w_img=w, dtype=dtype,
-        save_intermediates=save_intermediates,
+        save_intermediates=save_intermediates, carry=carry,
     )
     core, halo = band_views_packed(rt, wpp, cin2)
     wspec = pl.BlockSpec(memory_space=pltpu.VMEM)
@@ -382,6 +464,7 @@ def conv_block_packed_canvas(
         in_specs=[core, halo] + [wspec] * 9,
         out_specs=(ospec, ospec, ospec) if save_intermediates else ospec,
         out_shape=(oshape, oshape, oshape) if save_intermediates else oshape,
+        scratch_shapes=_carry_scratch(wpp, 2 * c, dtype) if carry else [],
         compiler_params=_compiler_params(),
         interpret=interpret,
     )(xc, xc, *packed)
@@ -396,6 +479,7 @@ def conv_block_packed_flat(
     row_tile: int = 32,
     interpret: bool = False,
     save_intermediates: bool = False,
+    carry: bool | None = None,
 ):
     """Fused packed block forward reading a MARGIN-0 packed flat directly
     (clamped three-view band reads — no packed canvas in XLA). Returns the
@@ -409,9 +493,13 @@ def conv_block_packed_flat(
     wpp = packed_wpp(w)
     dtype = xf.dtype
 
+    if carry is None:
+        carry = carry_enabled()
+    carry = bool(carry) and nb > 1
     kernel = functools.partial(
         _kernel, rt=rt, wpp=wpp, h_img=h, w_img=w, dtype=dtype,
         save_intermediates=save_intermediates, flat_input=True,
+        carry=carry,
     )
     xup, xcore, xdown = flat_views(rt, wpp, cin2, nb)
     wspec = pl.BlockSpec(memory_space=pltpu.VMEM)
@@ -431,6 +519,7 @@ def conv_block_packed_flat(
         in_specs=[xup, xcore, xdown] + [wspec] * 9,
         out_specs=(ospec, ospec, ospec) if save_intermediates else ospec,
         out_shape=(oshape, oshape, oshape) if save_intermediates else oshape,
+        scratch_shapes=_carry_scratch(wpp, 2 * c, dtype) if carry else [],
         compiler_params=_compiler_params(),
         interpret=interpret,
     )(xf, xf, xf, *packed)
@@ -447,6 +536,7 @@ def conv_block_packed_flat_dec(
     row_tile: int = 32,
     interpret: bool = False,
     save_intermediates: bool = False,
+    carry: bool | None = None,
 ):
     """Packed fused decoder block forward whose input is the channel concat
     [upsample | skip] (reference unet.py:36-44) fed as THREE separate
@@ -466,10 +556,13 @@ def conv_block_packed_flat_dec(
     wpp = packed_wpp(w)
     dtype = ue.dtype
 
+    if carry is None:
+        carry = carry_enabled()
+    carry = bool(carry) and nb > 1
     kernel = functools.partial(
         _kernel, rt=rt, wpp=wpp, h_img=h, w_img=w, dtype=dtype,
         save_intermediates=save_intermediates, flat_input=True,
-        dec_parts=(cu, cs),
+        dec_parts=(cu, cs), carry=carry,
     )
     uviews = flat_views(rt, wpp, cu, nb)
     sviews = flat_views(rt, wpp, 2 * cs, nb)
@@ -493,6 +586,7 @@ def conv_block_packed_flat_dec(
         in_specs=[*uviews, *uviews, *sviews] + [wspec] * 9,
         out_specs=(ospec, ospec, ospec) if save_intermediates else ospec,
         out_shape=(oshape, oshape, oshape) if save_intermediates else oshape,
+        scratch_shapes=_carry_scratch(wpp, 2 * c, dtype) if carry else [],
         compiler_params=_compiler_params(),
         interpret=interpret,
     )(ue, ue, ue, uo.astype(dtype), uo.astype(dtype), uo.astype(dtype),

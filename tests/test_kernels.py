@@ -130,6 +130,60 @@ class TestConvBlockKernel:
         for a, b_ in zip(run(False), run(True)):
             np.testing.assert_array_equal(np.asarray(a), np.asarray(b_))
 
+    @pytest.mark.parametrize("entry", ["canvas", "flat", "dec"])
+    def test_tail_carry_packed_bit_identical(self, entry):
+        """Packed-kernel tail-carry — including the carried-h3 garbage-tail
+        patch (the packed 2-col ring does NOT absorb the producer's tail
+        garbage at packed col 2, unlike the unpacked 4-col ring)."""
+        from pda.kernels import conv_block_packed as cp
+        from pda.kernels.conv_block_packed_bwd import flat_m0
+
+        h, w, cin, c, rt = 64, 64, 4, 8, 16
+        rng = np.random.default_rng(5)
+        x = jnp.asarray(rng.normal(size=(2, h, w, cin)).astype(np.float32))
+        wpp = cp.packed_wpp(w)
+
+        def mk_ws(ci0):
+            ws = []
+            for ci, co in ((ci0, c), (c, c), (c, c)):
+                ws += [
+                    jnp.asarray(rng.normal(size=(3, 3, ci, co)).astype(
+                        np.float32) * 0.2),
+                    jnp.asarray(rng.normal(size=(co,)).astype(
+                        np.float32) * 0.1),
+                ]
+            return ws
+
+        if entry == "canvas":
+            ws = mk_ws(cin)
+            xc = cp.canvas_packed(x, wpp)
+            run = lambda carry: (cp.conv_block_packed_canvas(  # noqa: E731
+                xc, h, w, *ws, row_tile=rt, interpret=True, carry=carry
+            ),)
+        elif entry == "flat":
+            ws = mk_ws(cin)
+            xf = flat_m0(x, wpp)
+            run = lambda carry: cp.conv_block_packed_flat(  # noqa: E731
+                xf, h, w, *ws, row_tile=rt, interpret=True, carry=carry,
+                save_intermediates=True,
+            )
+        else:
+            cu, cs = 8, 4
+            ws = mk_ws(cu + cs)
+            ue = jnp.asarray(
+                rng.normal(size=(2, h * wpp, cu)).astype(np.float32))
+            uo = jnp.asarray(
+                rng.normal(size=(2, h * wpp, cu)).astype(np.float32))
+            skp = flat_m0(
+                jnp.asarray(rng.normal(size=(2, h, w, cs)).astype(np.float32)),
+                wpp)
+            run = lambda carry: (cp.conv_block_packed_flat_dec(  # noqa: E731
+                ue, uo, skp, h, w, *ws, row_tile=rt, interpret=True,
+                carry=carry,
+            ),)
+        for a, b_ in zip(run(False), run(True)):
+            np.testing.assert_array_equal(np.asarray(a), np.asarray(b_))
+
 
 class TestConvBlockBwdKernel:
     """Fused backward kernel (pda/kernels/conv_block_bwd.py) vs autodiff.
