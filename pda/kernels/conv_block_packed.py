@@ -159,6 +159,57 @@ def assemble_flat_band(up_ref, core_ref, dn_ref, n, nb, dtype):
     )
 
 
+def image_views(rt: int, lanes: int, nb: int):
+    """(up, core, down) BlockSpecs reading a DENSE image (B, H, W*Cin) as
+    the band of image rows [n*rt - 4, n*rt + rt + 4): the raw network input
+    streams into the kernel in its natural layout (full 128-aligned lanes),
+    and the packed zero-ring canvas is assembled in VMEM per band — the
+    tiny-lane packed flat the XLA entry build materializes (lane-padded
+    (L, 2*Cin) tiles, ~2-3 ms/step in the round-4 trace) never exists in
+    HBM."""
+    assert rt % 4 == 0, rt
+    r4 = rt // 4
+    up = pl.BlockSpec(
+        (1, 4, lanes),
+        lambda i, n: (i, jnp.maximum(n * r4 - 1, 0), 0),
+        memory_space=pltpu.VMEM,
+    )
+    core = pl.BlockSpec(
+        (1, rt, lanes), lambda i, n: (i, n, 0), memory_space=pltpu.VMEM
+    )
+    down = pl.BlockSpec(
+        (1, 4, lanes),
+        lambda i, n: (i, jnp.minimum((n + 1) * r4, nb * r4 - 1), 0),
+        memory_space=pltpu.VMEM,
+    )
+    return up, core, down
+
+
+def assemble_image_band(up_ref, core_ref, dn_ref, n, nb, w_img: int,
+                        cin: int, wpp: int, dtype):
+    """Band of image rows -> the packed zero-ring flat band value (identical
+    content to assemble_band over canvas_packed): pair-pack adjacent columns
+    into lanes, insert the ring columns as exact zeros, zero the top/bottom
+    margins via the edge masks, append the PAD_TAIL."""
+    up = jnp.where(n == 0, jnp.zeros_like(up_ref[0]), up_ref[0])
+    dn = jnp.where(n == nb - 1, jnp.zeros_like(dn_ref[0]), dn_ref[0])
+    rows = jnp.concatenate(
+        [up.astype(dtype), core_ref[0].astype(dtype), dn.astype(dtype)],
+        axis=0,
+    )  # (rt+8, W*cin)
+    r = rows.shape[0]
+    # lane regroup: (R, W*cin) -> (R, W/2, 2*cin); element (q, e*cin + c)
+    # is lane (2q + e)*cin + c — exactly the pair-packed channel order
+    pairs = rows.reshape(r, w_img // 2, 2 * cin)
+    m2 = MARGIN // 2
+    pairs = jnp.pad(
+        pairs, ((0, 0), (m2, wpp - w_img // 2 - m2), (0, 0))
+    )
+    x = pairs.reshape(r * wpp, 2 * cin)
+    zeros = jnp.zeros((PAD_TAIL, 2 * cin), dtype)
+    return jnp.concatenate([x, zeros], axis=0)
+
+
 def pack_weights(w: jax.Array):
     """HWIO (3, 3, Cin, Cout) -> (Wc, Wm), each (3_dy, 2*Cin, 2*Cout)."""
     zeros = jnp.zeros_like(w[:, 0])
@@ -296,9 +347,13 @@ def _kernel(
     flat_input: bool = False,
     dec_parts=None,  # (cu, cs): input is (ue, uo, skip) streams, dec_perm layout
     carry: bool = False,
+    image_cin: int = 0,  # >0: input is the dense image (B, H, W*cin)
 ):
     flat_parts = 3 if dec_parts else 1
-    if flat_input:
+    if image_cin:
+        iu_ref, ic_ref, id_ref = refs[:3]
+        refs = refs[3:]
+    elif flat_input:
         in_refs = refs[: 3 * flat_parts]
         refs = refs[3 * flat_parts:]
     else:
@@ -326,7 +381,11 @@ def _kernel(
         return out.astype(dtype)
 
     top1 = None
-    if flat_input:
+    if image_cin:
+        x = assemble_image_band(
+            iu_ref, ic_ref, id_ref, n, nb, w_img, image_cin, wpp, dtype
+        )
+    elif flat_input:
         # margin-0 packed flat input (zero ring by the producer's contract).
         # With dec_parts the decoder's (upsample-even, upsample-odd, packed
         # skip) streams concatenate HERE in VMEM (dec_perm layout; weights
@@ -523,6 +582,63 @@ def conv_block_packed_flat(
         compiler_params=_compiler_params(),
         interpret=interpret,
     )(xf, xf, xf, *packed)
+    return out
+
+
+def conv_block_packed_image(
+    x_img: jax.Array,  # (B, H, W, Cin) — the raw network input
+    h: int, w: int,
+    w1, b1, w2, b2, w3, b3,
+    *,
+    row_tile: int = 32,
+    interpret: bool = False,
+    save_intermediates: bool = False,
+    carry: bool | None = None,
+):
+    """Fused packed block forward reading the DENSE IMAGE directly: the
+    band's packed zero-ring canvas is assembled in VMEM (image_views +
+    assemble_image_band), so the tiny-lane packed input flat never exists
+    in HBM. Output/intermediates are the standard packed margin-0 flats."""
+    b, h_, w_, cin = x_img.shape
+    assert (h_, w_) == (h, w), (x_img.shape, h, w)
+    assert w % 2 == 0
+    c = w1.shape[-1]
+    rt = min(row_tile, h)
+    assert h % rt == 0 and rt % HALO_IMG_ROWS == 0, (h, rt)
+    nb = h // rt
+    wpp = packed_wpp(w)
+    dtype = x_img.dtype
+    if carry is None:
+        carry = carry_enabled()
+    carry = bool(carry) and nb > 1
+
+    kernel = functools.partial(
+        _kernel, rt=rt, wpp=wpp, h_img=h, w_img=w, dtype=dtype,
+        save_intermediates=save_intermediates, carry=carry, image_cin=cin,
+    )
+    xr = x_img.reshape(b, h, w * cin)
+    iviews = image_views(rt, w * cin, nb)
+    wspec = pl.BlockSpec(memory_space=pltpu.VMEM)
+    ospec = pl.BlockSpec(
+        (1, rt * wpp, 2 * c), lambda i, n: (i, n, 0), memory_space=pltpu.VMEM
+    )
+    oshape = jax.ShapeDtypeStruct((b, nb * rt * wpp, 2 * c), dtype)
+
+    packed = []
+    for wk, bk in ((w1, b1), (w2, b2), (w3, b3)):
+        wc, wm = pack_weights(wk.astype(dtype))
+        packed += [wc, wm, jnp.tile(bk.astype(jnp.float32), 2)[None, :]]
+
+    out = pl.pallas_call(
+        kernel,
+        grid=(b, nb),
+        in_specs=[*iviews] + [wspec] * 9,
+        out_specs=(ospec, ospec, ospec) if save_intermediates else ospec,
+        out_shape=(oshape, oshape, oshape) if save_intermediates else oshape,
+        scratch_shapes=_carry_scratch(wpp, 2 * c, dtype) if carry else [],
+        compiler_params=_compiler_params(),
+        interpret=interpret,
+    )(xr, xr, xr, *packed)
     return out
 
 

@@ -81,6 +81,7 @@ def _kernel(
     recompute: bool = False,
     dec_parts=None,  # (cu, cs): x is (ue, uo, skip) streams, dec_perm layout
     g_mode: str = "full",  # "full" | "pooled" | "both" — cotangent sources
+    image_cin: int = 0,  # >0: x streams as the dense image (B, H, W*cin)
 ):
     flat_parts = 3 if dec_parts else 1
     if flat_io:
@@ -110,17 +111,28 @@ def _kernel(
     nb = pl.num_programs(1)
 
     if flat_io:
-        # x/g stream as margin-0 packed flats (zero ring cols by contract).
-        # With dec_parts, x arrives as the decoder's three input streams and
-        # concatenates here in VMEM (dec_perm layout, matching the forward).
-        xs = [
-            assemble_flat_band(
-                x_refs[3 * i], x_refs[3 * i + 1], x_refs[3 * i + 2],
-                n, nb, dtype,
+        if image_cin:
+            # x streams as the dense image; the packed zero-ring band is
+            # assembled in VMEM (matching the image-entry forward)
+            from .conv_block_packed import assemble_image_band
+
+            x = assemble_image_band(
+                x_refs[0], x_refs[1], x_refs[2], n, nb, w_img, image_cin,
+                wpp, dtype,
             )
-            for i in range(flat_parts)
-        ]
-        x = xs[0] if flat_parts == 1 else jnp.concatenate(xs, axis=-1)
+        else:
+            # x/g stream as margin-0 packed flats (zero ring cols by
+            # contract). With dec_parts, x arrives as the decoder's three
+            # input streams and concatenates here in VMEM (dec_perm layout,
+            # matching the forward).
+            xs = [
+                assemble_flat_band(
+                    x_refs[3 * i], x_refs[3 * i + 1], x_refs[3 * i + 2],
+                    n, nb, dtype,
+                )
+                for i in range(flat_parts)
+            ]
+            x = xs[0] if flat_parts == 1 else jnp.concatenate(xs, axis=-1)
         g = None
         if g_mode in ("full", "both"):
             g = assemble_flat_band(gu_ref, gc_ref, gd_ref, n, nb, dtype)
@@ -523,6 +535,110 @@ def conv_block_packed_bwd_flat(
 
     return (
         dxf,
+        _assemble_dw(dw1p, cin, c), _db(db1p),
+        _assemble_dw(dw2p, c, c), _db(db2p),
+        _assemble_dw(dw3p, c, c), _db(db3p),
+    )
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=("h", "w", "row_tile", "interpret"),
+)
+def conv_block_packed_bwd_image(
+    x_img: jax.Array,  # (B, H, W, Cin) — the raw network input
+    h3f: jax.Array,    # (B, H*wpp, 2*C) packed fwd output flat
+    gf,                # (B, H*wpp, 2*C) packed cotangent flat (or None)
+    h1f, h2f,          # packed margin-0 flat fwd intermediates
+    h: int, w: int,
+    w1: jax.Array, w2: jax.Array, w3: jax.Array,
+    *,
+    row_tile: int = 16,
+    interpret: bool = False,
+    gpf=None,
+):
+    """Backward of :func:`conv_block_packed.conv_block_packed_image`: x
+    streams as the dense image and its packed zero-ring band is assembled
+    in VMEM for the dw1 weight gradient. Entry blocks have no input-
+    cotangent consumer, so there is no dx output. Returns
+    (dw1, db1, dw2, db2, dw3, db3); dw in HWIO f32. ``gf``/``gpf`` as in
+    conv_block_packed_bwd_flat (full / pooled / both cotangent sources)."""
+    from .conv_block_packed import image_views
+
+    b, h_, w_, cin = x_img.shape
+    assert (h_, w_) == (h, w)
+    c = w1.shape[-1]
+    rt = min(row_tile, h)
+    assert h % rt == 0 and rt % HALO_IMG_ROWS == 0, (h, rt)
+    nb = h // rt
+    wpp = packed_wpp(w)
+    dtype = x_img.dtype
+    assert gf is not None or gpf is not None
+    g_mode = ("both" if gf is not None else "pooled") if gpf is not None \
+        else "full"
+    if gpf is not None:
+        assert rt % 8 == 0 and gpf.shape[1] == (h // 2) * wpp, (
+            gpf.shape, h, wpp)
+
+    kernel = functools.partial(
+        _kernel, rt=rt, wpp=wpp, h_img=h, w_img=w, dtype=dtype, flat_io=True,
+        need_dx=False, recompute=False, g_mode=g_mode, image_cin=cin)
+    vmem = pl.BlockSpec(memory_space=pltpu.VMEM)
+    iviews = image_views(rt, w * cin, nb)
+    hup, hcore, hdown = flat_views(rt, wpp, 2 * c, nb)
+
+    def dw_specs(ci):
+        return (
+            pl.BlockSpec((1, 1, 9, 2 * ci, 2 * c),
+                         lambda i, n: (0, 0, 0, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 1, 1, 2 * c), lambda i, n: (0, 0, 0, 0),
+                         memory_space=pltpu.VMEM),
+        )
+
+    def dw_shapes(ci):
+        return (
+            jax.ShapeDtypeStruct((1, 1, 9, 2 * ci, 2 * c), jnp.float32),
+            jax.ShapeDtypeStruct((1, 1, 1, 2 * c), jnp.float32),
+        )
+
+    xr = x_img.reshape(b, h, w * cin)
+    in_specs = list(iviews)
+    inputs = [xr, xr, xr]
+    if gf is not None:
+        in_specs += [hup, hcore, hdown]
+        inputs += [gf, gf, gf]
+    if gpf is not None:
+        gpviews = flat_views(rt // 2, wpp, c, nb)
+        in_specs += list(gpviews)
+        inputs += [gpf, gpf, gpf]
+    in_specs += [hup, hcore, hdown]  # h3
+    inputs += [h3f, h3f, h3f]
+    in_specs += [hup, hcore, hdown, hup, hcore, hdown]
+    inputs += [h1f, h1f, h1f, h2f, h2f, h2f]
+    for wk in (w2, w3):  # no dx chain: dgrad weights for da2/da1 only
+        wc, wm = _prep_dgrad(wk.astype(dtype))
+        inputs += [wc, wm]
+        in_specs += [vmem, vmem]
+
+    out_shapes = (*dw_shapes(cin), *dw_shapes(c), *dw_shapes(c))
+    out_specs = (*dw_specs(cin), *dw_specs(c), *dw_specs(c))
+    outs = pl.pallas_call(
+        kernel,
+        grid=(b, nb),
+        in_specs=in_specs,
+        out_specs=out_specs,
+        out_shape=out_shapes,
+        compiler_params=_compiler_params(),
+        interpret=interpret,
+    )(*inputs)
+    dw1p, db1p, dw2p, db2p, dw3p, db3p = outs
+
+    def _db(p):
+        s = jnp.sum(p, axis=(0, 1))[0]
+        return s[:c] + s[c:]
+
+    return (
         _assemble_dw(dw1p, cin, c), _db(db1p),
         _assemble_dw(dw2p, c, c), _db(db2p),
         _assemble_dw(dw3p, c, c), _db(db3p),

@@ -761,6 +761,114 @@ conv3_relu_flat_packed.defvjp(_conv3fp_fwd, _conv3fp_bwd)
 
 
 # ---------------------------------------------------------------------------
+# IMAGE-ENTRY packed block (PDA_PALLAS_IMGIN): the network-input blocks read
+# the dense (B, H, W, Cin) image directly; the packed zero-ring flat is
+# assembled per band in VMEM inside the kernels (forward AND the backward's
+# dw1 wgrad), so the tiny-lane packed entry flat — whose lane-padded XLA
+# build the round-4 trace billed at ~2-3 ms/step — never exists in HBM.
+# Entry blocks by definition have no input-cotangent consumer (dx is zero
+# and DCE'd). Pool variants mirror the flat entry forms below.
+# ---------------------------------------------------------------------------
+
+
+def image_entry_enabled() -> bool:
+    return os.environ.get("PDA_PALLAS_IMGIN", "0") == "1"
+
+
+def image_entry_eligible(h: int, w: int, cin: int, c: int) -> bool:
+    """Image-entry kernel gate: packed geometry + full 128-lane image rows."""
+    return packed_flat_eligible(h, w, cin, c) and (w * cin) % 128 == 0
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(0, 1))
+def conv3_relu_image_packed(h, w, x_img, w1, b1, w2, b2, w3, b3):
+    from ..kernels.conv_block_packed import conv_block_packed_image
+
+    rt = _packed_fwd_row_tile(h, x_img.shape[-1], w1.shape[-1])
+    return conv_block_packed_image(
+        x_img, h, w, w1, b1, w2, b2, w3, b3, row_tile=rt
+    )
+
+
+def _conv3ip_fwd(h, w, x_img, w1, b1, w2, b2, w3, b3):
+    from ..kernels.conv_block_packed import conv_block_packed_image
+
+    rt = _packed_fwd_row_tile(h, x_img.shape[-1], w1.shape[-1])
+    outf, h1f, h2f = conv_block_packed_image(
+        x_img, h, w, w1, b1, w2, b2, w3, b3,
+        row_tile=rt, save_intermediates=True,
+    )
+    return outf, (x_img, outf, h1f, h2f, w1, b1, w2, b2, w3)
+
+
+def _image_bwd(h, w, res, gf, gpf):
+    from ..kernels.conv_block_packed_bwd import conv_block_packed_bwd_image
+
+    x_img, outf, h1f, h2f, w1, b1, w2, b2, w3 = res
+    rt = _packed_bwd_row_tile(h, x_img.shape[-1], w1.shape[-1])
+    dw1, db1, dw2, db2, dw3, db3 = conv_block_packed_bwd_image(
+        x_img, outf, None if gf is None else gf.astype(x_img.dtype),
+        h1f, h2f, h, w, w1, w2, w3, row_tile=rt,
+        gpf=None if gpf is None else gpf.astype(x_img.dtype),
+    )
+    # entry block: the input cotangent has no consumer (zeros, DCE'd)
+    return jnp.zeros_like(x_img), dw1, db1, dw2, db2, dw3, db3
+
+
+def _conv3ip_bwd(h, w, res, g):
+    return _image_bwd(h, w, res, g, None)
+
+
+conv3_relu_image_packed.defvjp(_conv3ip_fwd, _conv3ip_bwd)
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(0, 1))
+def conv3_relu_image_packed_pool(h, w, x_img, w1, b1, w2, b2, w3, b3):
+    from . import flat_ops
+
+    return flat_ops.pool_flat_packed(
+        conv3_relu_image_packed(h, w, x_img, w1, b1, w2, b2, w3, b3), h, w
+    )
+
+
+def _conv3ipp_fwd(h, w, x_img, w1, b1, w2, b2, w3, b3):
+    from . import flat_ops
+
+    outf, res = _conv3ip_fwd(h, w, x_img, w1, b1, w2, b2, w3, b3)
+    return flat_ops.pool_flat_packed(outf, h, w), res
+
+
+def _conv3ipp_bwd(h, w, res, g):
+    return _image_bwd(h, w, res, None, g)
+
+
+conv3_relu_image_packed_pool.defvjp(_conv3ipp_fwd, _conv3ipp_bwd)
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(0, 1))
+def conv3_relu_image_packed_with_pool(h, w, x_img, w1, b1, w2, b2, w3, b3):
+    from . import flat_ops
+
+    outf = conv3_relu_image_packed(h, w, x_img, w1, b1, w2, b2, w3, b3)
+    return outf, flat_ops.pool_flat_packed(outf, h, w)
+
+
+def _conv3ipw_fwd(h, w, x_img, w1, b1, w2, b2, w3, b3):
+    from . import flat_ops
+
+    outf, res = _conv3ip_fwd(h, w, x_img, w1, b1, w2, b2, w3, b3)
+    return (outf, flat_ops.pool_flat_packed(outf, h, w)), res
+
+
+def _conv3ipw_bwd(h, w, res, gs):
+    g_out, g_pool = gs
+    return _image_bwd(h, w, res, g_out, g_pool)
+
+
+conv3_relu_image_packed_with_pool.defvjp(_conv3ipw_fwd, _conv3ipw_bwd)
+
+
+# ---------------------------------------------------------------------------
 # Packed block + 2x2 avg pool as one differentiable op. The forward is
 # unchanged (kernel + the cheap XLA reshape-sum pool); the POOL'S TRANSPOSE
 # moves into the fused backward kernel: it reads the pooled cotangent (1/4
@@ -1055,6 +1163,16 @@ class ConvBlock(nn.Module):
             if len(parts) == 3:  # packed: (upsample even, odd, packed skip)
                 return conv3_relu_flat_packed_dec(h, w, *parts, *weights)
             return conv3_relu_flat_dual(h, w, *parts, *weights)
+        if x.ndim == 4:
+            # IMAGE entry (PDA_PALLAS_IMGIN): the network-input block reads
+            # the dense image; the packed zero-ring canvas is built in-kernel
+            assert not self.pool and x.shape[-1] == cin
+            x = x.astype(self.dtype)
+            if pool_out == "only":
+                return conv3_relu_image_packed_pool(h, w, x, *weights)
+            if pool_out == "with":
+                return conv3_relu_image_packed_with_pool(h, w, x, *weights)
+            return conv3_relu_image_packed(h, w, x, *weights)
         if self.pool:
             packed_in = x.shape[-1] == 2 * cin
             pool = flat_ops.pool_flat_packed if packed_in else flat_ops.pool_flat
@@ -1152,9 +1270,14 @@ class EncoderPyramid(nn.Module):
             b, h, w, cin = x.shape
             x = x.astype(self.dtype)
             packed0 = flat_plan["l0_packed"]
-            xf = (
-                flat_ops.to_flat_packed(x) if packed0 else flat_ops.to_flat(x)
-            )
+            if (packed0 and image_entry_enabled()
+                    and image_entry_eligible(h, w, cin, self.num_filters[0])):
+                xf = x  # level 0 reads the dense image (in-kernel canvas)
+            else:
+                xf = (
+                    flat_ops.to_flat_packed(x) if packed0
+                    else flat_ops.to_flat(x)
+                )
             ci = cin
             # Level 0's output here feeds ONLY level 1's pool: emit the
             # pooled flat from the fused block+pool op when eligible (the

@@ -93,7 +93,13 @@ class PUNetBackbone(nn.Module):
         depth = len(self.num_filters)
         x = x.astype(self.dtype)
         packed0 = plan["l0_packed"]
-        xf = flat_ops.to_flat_packed(x) if packed0 else flat_ops.to_flat(x)
+        from .blocks import image_entry_eligible, image_entry_enabled
+
+        if (packed0 and image_entry_enabled()
+                and image_entry_eligible(h0, w0, cin, self.num_filters[0])):
+            xf = x  # level 0 reads the dense image; canvas built in-kernel
+        else:
+            xf = flat_ops.to_flat_packed(x) if packed0 else flat_ops.to_flat(x)
 
         skips = []  # (flat, (h, w), channels)
         h, w, ci = h0, w0, cin

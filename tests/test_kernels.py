@@ -184,6 +184,66 @@ class TestConvBlockKernel:
         for a, b_ in zip(run(False), run(True)):
             np.testing.assert_array_equal(np.asarray(a), np.asarray(b_))
 
+    @pytest.mark.parametrize("cin", [1, 2])
+    def test_image_entry_packed_matches_flat_entry(self, cin):
+        """PDA_PALLAS_IMGIN forward kernel: the dense-image entry (packed
+        canvas assembled in VMEM) is bit-identical to the packed-flat entry
+        built by flat_ops.to_flat_packed in XLA."""
+        from pda.kernels import conv_block_packed as cp
+        from pda.kernels.conv_block_packed_bwd import flat_m0
+
+        h, w, c, rt = 64, 64, 8, 16
+        rng = np.random.default_rng(7)
+        x = jnp.asarray(rng.normal(size=(2, h, w, cin)).astype(np.float32))
+        ws = []
+        for ci, co in ((cin, c), (c, c), (c, c)):
+            ws += [
+                jnp.asarray(
+                    rng.normal(size=(3, 3, ci, co)).astype(np.float32) * 0.2
+                ),
+                jnp.asarray(rng.normal(size=(co,)).astype(np.float32) * 0.1),
+            ]
+        ref = cp.conv_block_packed_flat(
+            flat_m0(x, cp.packed_wpp(w)), h, w, *ws, row_tile=rt,
+            interpret=True, save_intermediates=True,
+        )
+        out = cp.conv_block_packed_image(
+            x, h, w, *ws, row_tile=rt, interpret=True,
+            save_intermediates=True,
+        )
+        for a, b_ in zip(ref, out):
+            np.testing.assert_array_equal(np.asarray(a), np.asarray(b_))
+
+    def test_image_entry_model_grads_match(self, monkeypatch):
+        """PDA_PALLAS_IMGIN end-to-end: identical loss AND parameter
+        gradients through the full PUNet step (exercises the image-entry
+        backward's in-VMEM dw1 canvas and the pool-fused entry variants on
+        both the backbone and the 2-channel posterior)."""
+        from jax.experimental.pallas import tpu as pltpu
+
+        from pda.train.steps import _punet_loss
+
+        model, params, x = _setup(hw=64, batch=1)
+        segm = (jax.random.normal(jax.random.PRNGKey(3), x.shape) > 0
+                ).astype(jnp.float32)
+        key = jax.random.PRNGKey(11)
+        monkeypatch.setenv("PDA_PALLAS_CONV", "1")
+
+        def run(flag):
+            monkeypatch.setenv("PDA_PALLAS_IMGIN", flag)
+            with pltpu.force_tpu_interpret_mode():
+                return jax.value_and_grad(
+                    lambda p: _punet_loss(model, p, x, segm, key)[0]
+                )(params)
+
+        l0, g0 = run("0")
+        l1, g1 = run("1")
+        assert float(l0) == float(l1)
+        for a, b_ in zip(
+            jax.tree_util.tree_leaves(g0), jax.tree_util.tree_leaves(g1)
+        ):
+            np.testing.assert_array_equal(np.asarray(a), np.asarray(b_))
+
 
 class TestConvBlockBwdKernel:
     """Fused backward kernel (pda/kernels/conv_block_bwd.py) vs autodiff.
