@@ -50,6 +50,12 @@ from .conv_block import _compiler_params_bwd as _compiler_params
 
 
 
+def _carry_scratch_bwd(wp: int, c: int, dtype):
+    """da2/da1 leading-row carry buffers: 4/2 canvas rows
+    (PDA_PALLAS_CARRY_BWD — shared with the packed backward family)."""
+    return [pltpu.VMEM((4 * wp, c), dtype), pltpu.VMEM((2 * wp, c), dtype)]
+
+
 def _prep_fwd(w: jax.Array) -> jax.Array:
     """(3, 3, Cin, Cout) HWIO -> (3_dy, Cin, 3_dx*Cout) for the nocat stencil."""
     return jnp.transpose(w, (0, 2, 1, 3)).reshape(3, w.shape[2], 3 * w.shape[3])
@@ -66,7 +72,11 @@ def _kernel(
     recompute: bool = True,
     flat_io: bool = False,
     flat_parts: int = 1,
+    carry: bool = False,
 ):
+    if carry:
+        cda2_ref, cda1_ref = allrefs[-2:]
+        allrefs = allrefs[:-2]
     if flat_io:
         x_refs = allrefs[: 3 * flat_parts]
         (gu_ref, gc_ref, gd_ref,
@@ -174,13 +184,61 @@ def _kernel(
     # da3 (base 0, full band): g * relu'(h3); g/h3 ring columns are zero
     da3 = jnp.where(h3.astype(jnp.float32) > 0.0, g, 0).astype(dtype)
 
-    # da2 (base 2): dgrad conv of da3 (base 0 -> off0 = wp + 1), relu' of h2
-    r2 = stencil(da3, wd3_ref, l_da2, wp + 1, 16)
-    da2 = (jnp.where(h2_for_da2.astype(jnp.float32) > 0.0, r2, 0.0)).astype(dtype)
+    if not carry:
+        # da2 (base 2): dgrad conv of da3 (base 0 -> off0 = wp+1); relu'(h2)
+        r2 = stencil(da3, wd3_ref, l_da2, wp + 1, 16)
+        da2 = (jnp.where(
+            h2_for_da2.astype(jnp.float32) > 0.0, r2, 0.0)).astype(dtype)
 
-    # da1 (base 3): dgrad of da2 (base 2 -> off0 = 0); relu' of h1 re-based
-    r1 = stencil(da2, wd2_ref, l_da1, 0, 8)
-    da1 = (jnp.where(h1_for_da1.astype(jnp.float32) > 0.0, r1, 0.0)).astype(dtype)
+        # da1 (base 3): dgrad of da2 (base 2 -> off0 = 0); relu' of h1
+        r1 = stencil(da2, wd2_ref, l_da1, 0, 8)
+        da1 = (jnp.where(
+            h1_for_da1.astype(jnp.float32) > 0.0, r1, 0.0)).astype(dtype)
+    else:
+        # Tail-carry for the gradient chain (see conv_block._kernel): da2/
+        # da1's leading rows come from VMEM scratch carried from the
+        # previous band (exactly rt fresh rows per dgrad stencil instead of
+        # rt+4/rt+2; dx is already exact-owned). No garbage-tail patch is
+        # needed: every carried entry's stencil reads stay inside the
+        # producer's valid band.
+        @pl.when(n == 0)
+        def _():
+            head = stencil(da3, wd3_ref, 4 * wp, wp + 1, 0)
+            cda2_ref[:] = jnp.where(
+                h2_for_da2[: 4 * wp].astype(jnp.float32) > 0.0, head, 0.0
+            ).astype(dtype)
+
+        f2 = stencil(da3[4 * wp :], wd3_ref, rt * wp, wp + 1, 16)
+        da2 = jnp.concatenate(
+            [cda2_ref[:],
+             jnp.where(
+                 h2_for_da2[4 * wp : (rt + 4) * wp + 16].astype(
+                     jnp.float32) > 0.0,
+                 f2, 0.0).astype(dtype)],
+            axis=0,
+        )
+
+        @pl.when(n == 0)
+        def _():
+            head = stencil(da2, wd2_ref, 2 * wp, 0, 0)
+            cda1_ref[:] = jnp.where(
+                h1_for_da1[: 2 * wp].astype(jnp.float32) > 0.0, head, 0.0
+            ).astype(dtype)
+
+        f1 = stencil(da2[2 * wp :], wd2_ref, rt * wp, 0, 8)
+        da1 = jnp.concatenate(
+            [cda1_ref[:],
+             jnp.where(
+                 h1_for_da1[2 * wp : (rt + 2) * wp + 8].astype(
+                     jnp.float32) > 0.0,
+                 f1, 0.0).astype(dtype)],
+            axis=0,
+        )
+
+        @pl.when(n < nb - 1)
+        def _():
+            cda2_ref[:] = da2[rt * wp : (rt + 4) * wp]
+            cda1_ref[:] = da1[rt * wp : (rt + 2) * wp]
 
     # dx (base 4, exactly the band's rt owned rows)
     l_dx = rt * wp
@@ -338,7 +396,9 @@ def conv_block_bwd_canvas(
             _dw(dw3p, c), _db(db3p))
 
 
-@functools.partial(jax.jit, static_argnames=("h", "w", "row_tile", "interpret"))
+@functools.partial(
+    jax.jit, static_argnames=("h", "w", "row_tile", "interpret", "carry")
+)
 def conv_block_bwd_flat(
     xf: jax.Array,   # (B, H*wp, Cin) margin-0 flat of the fwd input
     h3f: jax.Array,  # (B, H*wp, C)   margin-0 fwd output flat
@@ -351,6 +411,7 @@ def conv_block_bwd_flat(
     *,
     row_tile: int = 16,
     interpret: bool = False,
+    carry: bool | None = None,
 ):
     """Fully flat backward: every stream (x, g, h1..h3) is a margin-0 flat
     read through clamped three-view bands, and dx comes back as a margin-0
@@ -365,9 +426,14 @@ def conv_block_bwd_flat(
     wp = canvas_wp(w)
     dtype = xf.dtype
 
+    if carry is None:
+        from .conv_block_packed_bwd import carry_bwd_enabled
+
+        carry = carry_bwd_enabled()
+    carry = bool(carry) and nb > 1
     kernel = functools.partial(
         _kernel, rt=rt, wp=wp, h_img=h, w_img=w, dtype=dtype,
-        recompute=False, flat_io=True)
+        recompute=False, flat_io=True, carry=carry)
     vmem = pl.BlockSpec(memory_space=pltpu.VMEM)
     xup, xcore, xdown = flat_views(rt, wp, cin, nb)
     hup, hcore, hdown = flat_views(rt, wp, c, nb)
@@ -410,6 +476,7 @@ def conv_block_bwd_flat(
         ],
         out_specs=out_specs,
         out_shape=out_shapes,
+        scratch_shapes=_carry_scratch_bwd(wp, c, dtype) if carry else [],
         compiler_params=_compiler_params(),
         interpret=interpret,
     )(
@@ -431,7 +498,7 @@ def conv_block_bwd_flat(
             _dw(dw3p, c), _db(db3p))
 
 
-@functools.partial(jax.jit, static_argnames=("h", "w", "row_tile", "interpret"))
+@functools.partial(jax.jit, static_argnames=("h", "w", "row_tile", "interpret", "carry"))
 def conv_block_bwd_flat_dual(
     xaf: jax.Array,  # (B, H*wp, Ca) margin-0 flat of the fwd input part A
     xbf: jax.Array,  # (B, H*wp, Cb) margin-0 flat of the fwd input part B
@@ -445,6 +512,7 @@ def conv_block_bwd_flat_dual(
     *,
     row_tile: int = 16,
     interpret: bool = False,
+    carry: bool | None = None,
 ):
     """Backward of :func:`conv_block_fused_flat_dual`: the forward input is
     the channel concat [xa | xb] assembled per band in VMEM, and the input
@@ -462,9 +530,14 @@ def conv_block_bwd_flat_dual(
     wp = canvas_wp(w)
     dtype = xaf.dtype
 
+    if carry is None:
+        from .conv_block_packed_bwd import carry_bwd_enabled
+
+        carry = carry_bwd_enabled()
+    carry = bool(carry) and nb > 1
     kernel = functools.partial(
         _kernel, rt=rt, wp=wp, h_img=h, w_img=w, dtype=dtype,
-        recompute=False, flat_io=True, flat_parts=2)
+        recompute=False, flat_io=True, flat_parts=2, carry=carry)
     vmem = pl.BlockSpec(memory_space=pltpu.VMEM)
     aup, acore, adown = flat_views(rt, wp, ca, nb)
     bup, bcore, bdown = flat_views(rt, wp, cb, nb)
@@ -511,6 +584,7 @@ def conv_block_bwd_flat_dual(
         ],
         out_specs=out_specs,
         out_shape=out_shapes,
+        scratch_shapes=_carry_scratch_bwd(wp, c, dtype) if carry else [],
         compiler_params=_compiler_params(),
         interpret=interpret,
     )(

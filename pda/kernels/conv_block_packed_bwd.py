@@ -67,6 +67,22 @@ from .conv_block import _compiler_params_bwd as _compiler_params
 
 
 
+def carry_bwd_enabled() -> bool:
+    """Default for the backward kernels' gradient-chain tail-carry
+    (PDA_PALLAS_CARRY_BWD; see _kernel). Off until measured on hardware."""
+    import os
+
+    return os.environ.get("PDA_PALLAS_CARRY_BWD", "0") == "1"
+
+
+def _carry_scratch_bwd(wpp: int, c2: int, dtype, need_dx: bool, dx_lanes: int):
+    """da2/da1 (+ f32 dx) leading-row carry buffers: 5/3/(1) packed rows."""
+    s = [pltpu.VMEM((5 * wpp, c2), dtype), pltpu.VMEM((3 * wpp, c2), dtype)]
+    if need_dx:
+        s.append(pltpu.VMEM((wpp, dx_lanes), jnp.float32))
+    return s
+
+
 def _prep_dgrad(w: jax.Array):
     """HWIO -> packed (Wc, Wm) blocks of the input-gradient conv (flipped,
     io-swapped kernel)."""
@@ -82,8 +98,13 @@ def _kernel(
     dec_parts=None,  # (cu, cs): x is (ue, uo, skip) streams, dec_perm layout
     g_mode: str = "full",  # "full" | "pooled" | "both" — cotangent sources
     image_cin: int = 0,  # >0: x streams as the dense image (B, H, W*cin)
+    carry: bool = False,
 ):
     flat_parts = 3 if dec_parts else 1
+    if carry:
+        n_scratch = 3 if need_dx else 2
+        carry_refs = allrefs[-n_scratch:]
+        allrefs = allrefs[:-n_scratch]
     if flat_io:
         x_refs = allrefs[: 3 * flat_parts]
         refs = allrefs[3 * flat_parts:]
@@ -220,17 +241,88 @@ def _kernel(
     # da3 (base 0, full band): g * relu'(h3); ring lanes zero via g's ring
     da3 = jnp.where(h3.astype(jnp.float32) > 0.0, g, 0).astype(dtype)
 
-    # da2 (base 1): dgrad of da3 (base jump 1 -> off0 = 0); relu'(h2)
-    r2 = stencil(da3, wd3c_ref, wd3m_ref, l_da2, 0, 16)
-    da2 = jnp.where(h2_for_da2.astype(jnp.float32) > 0.0, r2, 0.0).astype(dtype)
+    if not carry:
+        # da2 (base 1): dgrad of da3 (base jump 1 -> off0 = 0); relu'(h2)
+        r2 = stencil(da3, wd3c_ref, wd3m_ref, l_da2, 0, 16)
+        da2 = jnp.where(
+            h2_for_da2.astype(jnp.float32) > 0.0, r2, 0.0
+        ).astype(dtype)
 
-    # da1 (base 2): dgrad of da2 (jump 1 -> off0 = 0); relu'(h1)
-    r1 = stencil(da2, wd2c_ref, wd2m_ref, l_da1, 0, 8)
-    da1 = jnp.where(h1_for_da1.astype(jnp.float32) > 0.0, r1, 0.0).astype(dtype)
+        # da1 (base 2): dgrad of da2 (jump 1 -> off0 = 0); relu'(h1)
+        r1 = stencil(da2, wd2c_ref, wd2m_ref, l_da1, 0, 8)
+        da1 = jnp.where(
+            h1_for_da1.astype(jnp.float32) > 0.0, r1, 0.0
+        ).astype(dtype)
+
+        r_dx = (
+            stencil(da1, wd1c_ref, wd1m_ref, l_dx, 0, 0) if need_dx else None
+        )
+    else:
+        # Tail-carry for the gradient chain (see conv_block_packed._kernel):
+        # each buffer's leading rows come from VMEM scratch carried from the
+        # previous band; the band computes exactly rt fresh rows per dgrad
+        # stencil instead of rt+5/rt+3/rt+1. Unlike the forward, NO
+        # garbage-tail patch is needed: the da buffers are short enough
+        # relative to the band that every carried entry's stencil reads stay
+        # inside the producer's valid region.
+        cda2_ref, cda1_ref = carry_refs[0], carry_refs[1]
+
+        @pl.when(n == 0)
+        def _():
+            head = stencil(da3, wd3c_ref, wd3m_ref, 5 * wpp, 0, 0)
+            cda2_ref[:] = jnp.where(
+                h2_for_da2[: 5 * wpp].astype(jnp.float32) > 0.0, head, 0.0
+            ).astype(dtype)
+
+        f2 = stencil(da3[5 * wpp :], wd3c_ref, wd3m_ref, rt * wpp, 0, 16)
+        da2 = jnp.concatenate(
+            [cda2_ref[:],
+             jnp.where(
+                 h2_for_da2[5 * wpp : (rt + 5) * wpp + 16].astype(
+                     jnp.float32) > 0.0,
+                 f2, 0.0).astype(dtype)],
+            axis=0,
+        )
+
+        @pl.when(n == 0)
+        def _():
+            head = stencil(da2, wd2c_ref, wd2m_ref, 3 * wpp, 0, 0)
+            cda1_ref[:] = jnp.where(
+                h1_for_da1[: 3 * wpp].astype(jnp.float32) > 0.0, head, 0.0
+            ).astype(dtype)
+
+        f1 = stencil(da2[3 * wpp :], wd2c_ref, wd2m_ref, rt * wpp, 0, 8)
+        da1 = jnp.concatenate(
+            [cda1_ref[:],
+             jnp.where(
+                 h1_for_da1[3 * wpp : (rt + 3) * wpp + 8].astype(
+                     jnp.float32) > 0.0,
+                 f1, 0.0).astype(dtype)],
+            axis=0,
+        )
+
+        r_dx = None
+        if need_dx:
+            cdx_ref = carry_refs[2]
+
+            @pl.when(n == 0)
+            def _():
+                cdx_ref[:] = stencil(
+                    da1, wd1c_ref, wd1m_ref, wpp, 0, 0
+                ).astype(jnp.float32)
+
+            fdx = stencil(da1[wpp:], wd1c_ref, wd1m_ref, rt * wpp, 0, 0)
+            r_dx = jnp.concatenate([cdx_ref[:], fdx], axis=0)
+
+        @pl.when(n < nb - 1)
+        def _():
+            cda2_ref[:] = da2[rt * wpp : (rt + 5) * wpp]
+            cda1_ref[:] = da1[rt * wpp : (rt + 3) * wpp]
+            if need_dx:
+                cdx_ref[:] = r_dx[rt * wpp : (rt + 1) * wpp]
 
     if need_dx:
         # dx (base 3): owned rows [4, rt+4) start at j = wpp - 3
-        r_dx = stencil(da1, wd1c_ref, wd1m_ref, l_dx, 0, 0)
         v = r_dx[wpp - 3 : wpp - 3 + rt * wpp, :].astype(dtype)
         # with dec_parts the dgrad weights' columns are dec_perm-permuted,
         # so v's lanes are already (d_ue | d_uo | d_skip-packed): the split
@@ -404,7 +496,7 @@ def conv_block_packed_bwd_canvas(
 @functools.partial(
     jax.jit,
     static_argnames=("h", "w", "row_tile", "interpret", "need_dx",
-                     "recompute"),
+                     "recompute", "carry"),
 )
 def conv_block_packed_bwd_flat(
     xf: jax.Array,   # (B, H*wpp, 2*Cin) margin-0 packed flat of the input
@@ -419,6 +511,7 @@ def conv_block_packed_bwd_flat(
     interpret: bool = False,
     need_dx: bool = True,
     recompute: bool = False,
+    carry: bool | None = None,
     gpf: jax.Array = None,  # (B, (H/2)*wpp, C) pooled-consumer cotangent
 ):
     """Fully flat packed backward: x, g and the saved activations all stream
@@ -453,9 +546,12 @@ def conv_block_packed_bwd_flat(
         assert rt % 8 == 0 and gpf.shape[1] == (h // 2) * wpp, (
             gpf.shape, h, wpp)
 
+    if carry is None:
+        carry = carry_bwd_enabled()
+    carry = bool(carry) and nb > 1 and not recompute
     kernel = functools.partial(
         _kernel, rt=rt, wpp=wpp, h_img=h, w_img=w, dtype=dtype, flat_io=True,
-        need_dx=need_dx, recompute=recompute, g_mode=g_mode)
+        need_dx=need_dx, recompute=recompute, g_mode=g_mode, carry=carry)
     vmem = pl.BlockSpec(memory_space=pltpu.VMEM)
     xup, xcore, xdown = flat_views(rt, wpp, 2 * cin, nb)
     hup, hcore, hdown = flat_views(rt, wpp, 2 * c, nb)
@@ -520,6 +616,10 @@ def conv_block_packed_bwd_flat(
         in_specs=in_specs,
         out_specs=out_specs,
         out_shape=out_shapes,
+        scratch_shapes=(
+            _carry_scratch_bwd(wpp, 2 * c, dtype, need_dx, 2 * cin)
+            if carry else []
+        ),
         compiler_params=_compiler_params(),
         interpret=interpret,
     )(*inputs)
@@ -543,7 +643,7 @@ def conv_block_packed_bwd_flat(
 
 @functools.partial(
     jax.jit,
-    static_argnames=("h", "w", "row_tile", "interpret"),
+    static_argnames=("h", "w", "row_tile", "interpret", "carry"),
 )
 def conv_block_packed_bwd_image(
     x_img: jax.Array,  # (B, H, W, Cin) — the raw network input
@@ -555,6 +655,7 @@ def conv_block_packed_bwd_image(
     *,
     row_tile: int = 16,
     interpret: bool = False,
+    carry: bool | None = None,
     gpf=None,
 ):
     """Backward of :func:`conv_block_packed.conv_block_packed_image`: x
@@ -580,9 +681,13 @@ def conv_block_packed_bwd_image(
         assert rt % 8 == 0 and gpf.shape[1] == (h // 2) * wpp, (
             gpf.shape, h, wpp)
 
+    if carry is None:
+        carry = carry_bwd_enabled()
+    carry = bool(carry) and nb > 1
     kernel = functools.partial(
         _kernel, rt=rt, wpp=wpp, h_img=h, w_img=w, dtype=dtype, flat_io=True,
-        need_dx=False, recompute=False, g_mode=g_mode, image_cin=cin)
+        need_dx=False, recompute=False, g_mode=g_mode, image_cin=cin,
+        carry=carry)
     vmem = pl.BlockSpec(memory_space=pltpu.VMEM)
     iviews = image_views(rt, w * cin, nb)
     hup, hcore, hdown = flat_views(rt, wpp, 2 * c, nb)
@@ -629,6 +734,10 @@ def conv_block_packed_bwd_image(
         in_specs=in_specs,
         out_specs=out_specs,
         out_shape=out_shapes,
+        scratch_shapes=(
+            _carry_scratch_bwd(wpp, 2 * c, dtype, False, 0)
+            if carry else []
+        ),
         compiler_params=_compiler_params(),
         interpret=interpret,
     )(*inputs)
@@ -646,7 +755,7 @@ def conv_block_packed_bwd_image(
 
 
 @functools.partial(
-    jax.jit, static_argnames=("h", "w", "row_tile", "interpret"),
+    jax.jit, static_argnames=("h", "w", "row_tile", "interpret", "carry"),
 )
 def conv_block_packed_bwd_flat_dec(
     ue: jax.Array,   # (B, H*wpp, Cu) even-position upsample stream
@@ -660,6 +769,7 @@ def conv_block_packed_bwd_flat_dec(
     *,
     row_tile: int = 16,
     interpret: bool = False,
+    carry: bool | None = None,
 ):
     """Backward of :func:`conv_block_packed.conv_block_packed_flat_dec`: the
     forward input concat [upsample | skip] is re-assembled per band in VMEM
@@ -682,9 +792,12 @@ def conv_block_packed_bwd_flat_dec(
     dtype = ue.dtype
     perm, inv = dec_perm(cu, cs)
 
+    if carry is None:
+        carry = carry_bwd_enabled()
+    carry = bool(carry) and nb > 1
     kernel = functools.partial(
         _kernel, rt=rt, wpp=wpp, h_img=h, w_img=w, dtype=dtype, flat_io=True,
-        need_dx=True, recompute=False, dec_parts=(cu, cs))
+        need_dx=True, recompute=False, dec_parts=(cu, cs), carry=carry)
     vmem = pl.BlockSpec(memory_space=pltpu.VMEM)
     uviews = flat_views(rt, wpp, cu, nb)
     sviews = flat_views(rt, wpp, 2 * cs, nb)
@@ -741,6 +854,10 @@ def conv_block_packed_bwd_flat_dec(
         in_specs=in_specs,
         out_specs=out_specs,
         out_shape=out_shapes,
+        scratch_shapes=(
+            _carry_scratch_bwd(wpp, 2 * c, dtype, True, 2 * cin)
+            if carry else []
+        ),
         compiler_params=_compiler_params(),
         interpret=interpret,
     )(*inputs)

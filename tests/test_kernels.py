@@ -762,3 +762,111 @@ class TestFlatKernelVariants:
         ):
             rel = float(jnp.abs(a - r).max() / (jnp.abs(r).max() + 1e-9))
             assert rel < 2e-5, (name, rel)
+
+
+class TestBackwardTailCarry:
+    """PDA_PALLAS_CARRY_BWD: the gradient-chain tail-carry reproduces the
+    non-carry backward kernels exactly (da2/da1/dx carried rows; packed,
+    unpacked, dual, dec, image and pooled-cotangent modes)."""
+
+    def _ws(self, cin, c, rng):
+        ws = []
+        for ci, co in ((cin, c), (c, c), (c, c)):
+            ws += [
+                jnp.asarray(
+                    rng.normal(size=(3, 3, ci, co)).astype(np.float32) * 0.2
+                ),
+                jnp.asarray(rng.normal(size=(co,)).astype(np.float32) * 0.1),
+            ]
+        return ws
+
+    @pytest.mark.parametrize("mode", ["full", "pooled", "both"])
+    def test_packed_bwd_carry(self, mode):
+        from pda.kernels import conv_block_packed as cp
+        from pda.kernels import conv_block_packed_bwd as cb
+        from pda.kernels.conv_block_packed_bwd import flat_m0
+
+        h, w, cin, c, rt = 64, 64, 4, 8, 16
+        rng = np.random.default_rng(11)
+        x = jnp.asarray(rng.normal(size=(2, h, w, cin)).astype(np.float32))
+        ws = self._ws(cin, c, rng)
+        w1, b1, w2, b2, w3, b3 = ws
+        wpp = cp.packed_wpp(w)
+        xf = flat_m0(x, wpp)
+        outf, h1f, h2f = cp.conv_block_packed_flat(
+            xf, h, w, *ws, row_tile=rt, interpret=True,
+            save_intermediates=True,
+        )
+        gf = jnp.asarray(rng.normal(size=outf.shape).astype(np.float32))
+        gpf = jnp.asarray(
+            rng.normal(size=(2, (h // 2) * wpp, c)).astype(np.float32))
+        g_ = gf if mode in ("full", "both") else None
+        gp_ = gpf if mode in ("pooled", "both") else None
+
+        def run(carry):
+            return cb.conv_block_packed_bwd_flat(
+                xf, outf, g_, h1f, h2f, h, w, w1, w2, w3, b1=b1, b2=b2,
+                row_tile=rt, interpret=True, need_dx=True, gpf=gp_,
+                carry=carry,
+            )
+
+        for a, b_ in zip(run(False), run(True)):
+            if a is not None:
+                np.testing.assert_array_equal(np.asarray(a), np.asarray(b_))
+
+    def test_unpacked_bwd_carry(self):
+        from pda.kernels import conv_block as cf
+        from pda.kernels import conv_block_bwd as cb
+
+        h, w, cin, c, rt = 64, 48, 4, 8, 16
+        rng = np.random.default_rng(12)
+        x = jnp.asarray(rng.normal(size=(2, h, w, cin)).astype(np.float32))
+        ws = self._ws(cin, c, rng)
+        w1, b1, w2, b2, w3, b3 = ws
+        wp = cf.canvas_wp(w)
+        xf = cf.flat_m0(x, wp)
+        outf, h1f, h2f = cf.conv_block_fused_flat(
+            xf, h, w, *ws, row_tile=rt, interpret=True,
+            save_intermediates=True,
+        )
+        gf = jnp.asarray(rng.normal(size=outf.shape).astype(np.float32))
+
+        def run(carry):
+            return cb.conv_block_bwd_flat(
+                xf, outf, gf, h1f, h2f, h, w, w1, b1, w2, b2, w3,
+                row_tile=rt, interpret=True, carry=carry,
+            )
+
+        for a, b_ in zip(run(False), run(True)):
+            np.testing.assert_array_equal(np.asarray(a), np.asarray(b_))
+
+    def test_full_model_grads_with_both_carries(self, monkeypatch):
+        """PDA_PALLAS_CARRY=1 + PDA_PALLAS_CARRY_BWD=1 end-to-end: identical
+        loss and parameter gradients through the full PUNet step."""
+        from jax.experimental.pallas import tpu as pltpu
+
+        from pda.train.steps import _punet_loss
+
+        model, params, x = _setup(hw=64, batch=1)
+        segm = (jax.random.normal(jax.random.PRNGKey(3), x.shape) > 0
+                ).astype(jnp.float32)
+        key = jax.random.PRNGKey(11)
+        monkeypatch.setenv("PDA_PALLAS_CONV", "1")
+
+        def run(flag):
+            monkeypatch.setenv("PDA_PALLAS_CARRY", flag)
+            monkeypatch.setenv("PDA_PALLAS_CARRY_BWD", flag)
+            with pltpu.force_tpu_interpret_mode():
+                return jax.value_and_grad(
+                    lambda p: _punet_loss(model, p, x, segm, key)[0]
+                )(params)
+
+        l0, g0 = run("0")
+        l1, g1 = run("1")
+        assert float(l0) == float(l1)
+        for a, b_ in zip(
+            jax.tree_util.tree_leaves(g0), jax.tree_util.tree_leaves(g1)
+        ):
+            np.testing.assert_allclose(
+                np.asarray(a), np.asarray(b_), rtol=1e-6, atol=1e-6
+            )
