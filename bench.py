@@ -196,6 +196,75 @@ def build_naive(model, tx):
     return naive_step
 
 
+def naive_infer_frame_seconds(model, iparams, img_np, n_mc=16, repeats=3):
+    """Reference-STRUCTURE tiled MC-16 prediction, timed per frame: host-side
+    reflect pad + per-tile crop, ONE device call for the tile encode, a
+    sequential per-sample Python loop of separate decode dispatches
+    (each sample a full Fcomb decode materialized on device), per-tile host
+    fetch, host-side stitch — the execution shape of
+    /root/reference/prob_utils/my_predictions/punet_predictions.py:15-63
+    (predict_with_halo + `[sigmoid(sample()) for _ in range(n)]`).
+
+    Used to put a measured baseline under extra.mc16_tiles_per_sec
+    (VERDICT r4 item 5). Note: per-dispatch latency through the axon tunnel
+    inflates this baseline relative to a local accelerator; the reported
+    ratio is flagged tunnel-dispatch-inclusive."""
+    import math
+
+    h, w = img_np.shape[:2]
+    bh, bw, hh, hw = 384, 384, 64, 64
+    gy, gx = math.ceil(h / bh), math.ceil(w / bw)
+    padded = np.pad(
+        img_np,
+        ((hh, gy * bh - h + hh), (hw, gx * bw - w + hw), (0, 0)),
+        mode="reflect",
+    )
+
+    encode = jax.jit(
+        lambda p, t: model.apply({"params": p}, t, method="encode")
+    )
+    decode_sig = jax.jit(
+        lambda p, f, z: jax.nn.sigmoid(
+            model.apply({"params": p}, f, z, method="decode")
+        )
+    )
+
+    def one_frame(key):
+        tiles_out = []
+        for ty in range(gy):
+            for tx in range(gx):
+                tile = padded[
+                    ty * bh : ty * bh + bh + 2 * hh,
+                    tx * bw : tx * bw + bw + 2 * hw,
+                ]
+                tile = (tile - tile.mean()) / (tile.std() + 1e-7)
+                t = jnp.asarray(tile[None].astype(np.float32))
+                enc = encode(iparams, t)
+                acc = None
+                for _ in range(n_mc):  # the reference's per-sample loop
+                    key_, key = jax.random.split(key)
+                    z = enc.prior.sample(key_)
+                    probs = decode_sig(iparams, enc.features, z)
+                    acc = probs if acc is None else acc + probs
+                tiles_out.append(np.asarray(acc[0]) / n_mc)  # per-tile fetch
+        grid = np.stack(tiles_out).reshape(gy, gx, *tiles_out[0].shape)
+        centers = grid[:, :, hh : hh + bh, hw : hw + bw]
+        full = centers.transpose(0, 2, 1, 3, 4).reshape(
+            gy * bh, gx * bw, -1
+        )
+        return full[:h, :w]
+
+    one_frame(jax.random.PRNGKey(0))  # warm the two programs
+    times = []
+    for r in range(repeats):
+        if times and remaining() < 30:
+            break
+        t0 = time.perf_counter()
+        one_frame(jax.random.PRNGKey(r + 1))
+        times.append(time.perf_counter() - t0)
+    return float(np.median(times))
+
+
 def fence(state):
     """True device fence. The axon TPU platform's ``block_until_ready`` can
     acknowledge before execution completes (measured: impossible >1 PFLOP/s
@@ -436,6 +505,19 @@ def main():
             if n_tiles / dt < 0.9 * recorded_tiles:
                 extra["mc16_regression_vs_recorded"] = round(
                     (n_tiles / dt) / recorded_tiles - 1.0, 3
+                )
+            # reference-structure baseline for the SECOND metric
+            # (VERDICT r4 item 5): host-tiled, per-tile dispatches,
+            # sequential MC loop — BASELINE.json's "MC-16 consensus
+            # tiles/sec" finally gets a measured "vs" denominator
+            if remaining() > 60:
+                t_naive_f = naive_infer_frame_seconds(
+                    model, iparams, np.asarray(img)
+                )
+                extra["mc16_vs_baseline"] = round(t_naive_f / dt, 2)
+                extra["mc16_baseline_note"] = (
+                    "reference-structure tiled MC (per-tile dispatches, "
+                    "sequential sample loop); tunnel-dispatch-inclusive"
                 )
         except Exception:
             import traceback
