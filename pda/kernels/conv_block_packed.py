@@ -166,20 +166,21 @@ def image_views(rt: int, lanes: int, nb: int):
     and the packed zero-ring canvas is assembled in VMEM per band — the
     tiny-lane packed flat the XLA entry build materializes (lane-padded
     (L, 2*Cin) tiles, ~2-3 ms/step in the round-4 trace) never exists in
-    HBM."""
-    assert rt % 4 == 0, rt
-    r4 = rt // 4
+    HBM. Edge blocks are 8 rows (the Mosaic sublane-tile minimum); the
+    kernel uses the inner 4 of each."""
+    assert rt % 8 == 0, rt
+    r8 = rt // 8
     up = pl.BlockSpec(
-        (1, 4, lanes),
-        lambda i, n: (i, jnp.maximum(n * r4 - 1, 0), 0),
+        (1, 8, lanes),
+        lambda i, n: (i, jnp.maximum(n * r8 - 1, 0), 0),
         memory_space=pltpu.VMEM,
     )
     core = pl.BlockSpec(
         (1, rt, lanes), lambda i, n: (i, n, 0), memory_space=pltpu.VMEM
     )
     down = pl.BlockSpec(
-        (1, 4, lanes),
-        lambda i, n: (i, jnp.minimum((n + 1) * r4, nb * r4 - 1), 0),
+        (1, 8, lanes),
+        lambda i, n: (i, jnp.minimum((n + 1) * r8, nb * r8 - 1), 0),
         memory_space=pltpu.VMEM,
     )
     return up, core, down
@@ -190,9 +191,11 @@ def assemble_image_band(up_ref, core_ref, dn_ref, n, nb, w_img: int,
     """Band of image rows -> the packed zero-ring flat band value (identical
     content to assemble_band over canvas_packed): pair-pack adjacent columns
     into lanes, insert the ring columns as exact zeros, zero the top/bottom
-    margins via the edge masks, append the PAD_TAIL."""
-    up = jnp.where(n == 0, jnp.zeros_like(up_ref[0]), up_ref[0])
-    dn = jnp.where(n == nb - 1, jnp.zeros_like(dn_ref[0]), dn_ref[0])
+    margins via the edge masks, append the PAD_TAIL. The 8-row edge blocks
+    cover image rows [n*rt-8, n*rt) / [(n+1)*rt, +8); the band needs the
+    last/first 4."""
+    up = jnp.where(n == 0, jnp.zeros_like(up_ref[0]), up_ref[0])[4:]
+    dn = jnp.where(n == nb - 1, jnp.zeros_like(dn_ref[0]), dn_ref[0])[:4]
     rows = jnp.concatenate(
         [up.astype(dtype), core_ref[0].astype(dtype), dn.astype(dtype)],
         axis=0,

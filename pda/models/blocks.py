@@ -204,12 +204,17 @@ def _fit_tile(h: int, rt: int) -> int:
 def _fwd_row_tile(h: int, cin: int, c: int) -> int:
     """Row-band height for the forward kernel, sized to keep the band + f32
     stencil accumulator well inside VMEM at each PUNet geometry.
-    ``PDA_RT_FWD`` overrides at every height (tuning hook — smaller tiles
-    become viable once the tail-carry pipeline removes the per-band halo
-    recompute)."""
+    ``PDA_RT_FWD`` overrides at every height. With the tail-carry pipeline
+    (default) the per-band halo recompute is gone and 16-row tiles measure
+    fastest (29.4-29.5 vs 28.6-28.8 patches/s at the bench config); the
+    non-carry defaults keep the round-2/3 measured optimum."""
     override = int(os.environ.get("PDA_RT_FWD", "0"))
     if override:
         return _fit_tile(h, min(override, h))
+    from ..kernels.conv_block import carry_enabled
+
+    if carry_enabled():
+        return _fit_tile(h, min(16, h))
     if h >= 512:
         return _fit_tile(h, 16 if max(cin, c) > 64 else 32)
     return _fit_tile(h, min(32, h))
@@ -491,10 +496,15 @@ conv3_relu_pallas.defvjp(_conv3p_fwd, _conv3p_bwd)
 
 def _packed_fwd_row_tile(h: int, cin: int, c: int) -> int:
     override = int(os.environ.get("PDA_RT_PFWD", "0"))
+    if override:
+        return _fit_tile(h, min(override, h))
+    from ..kernels.conv_block import carry_enabled
+
+    if carry_enabled():
+        return _fit_tile(h, min(16, h))
     if h >= 512:
-        rt = override or (16 if cin > 64 else 32)
-        return _fit_tile(h, rt)
-    return _fit_tile(h, min(override or 32, h))
+        return _fit_tile(h, 16 if cin > 64 else 32)
+    return _fit_tile(h, min(32, h))
 
 
 def _packed_bwd_row_tile(h: int, cin: int, c: int) -> int:
