@@ -482,9 +482,12 @@ def main():
 
             out = run_infer()
             float(np.asarray(out).ravel()[0])  # true sync
-            # median of 3 loops, same discipline as the train-step timing
+            # median of 3 loops, same discipline as the train-step timing;
+            # 20-iter loops for comparability with the recorded round-3/4
+            # measurements (the per-loop fence amortizes differently at
+            # shorter lengths)
             times_i = []
-            iters_i = 10
+            iters_i = 20
             for _ in range(3):
                 if times_i and remaining() < 30:
                     break
