@@ -214,6 +214,7 @@ class TestConvBlockKernel:
         for a, b_ in zip(ref, out):
             np.testing.assert_array_equal(np.asarray(a), np.asarray(b_))
 
+    @pytest.mark.heavy
     def test_image_entry_model_grads_match(self, monkeypatch):
         """PDA_PALLAS_IMGIN end-to-end: identical loss AND parameter
         gradients through the full PUNet step (exercises the image-entry
@@ -840,6 +841,7 @@ class TestBackwardTailCarry:
         for a, b_ in zip(run(False), run(True)):
             np.testing.assert_array_equal(np.asarray(a), np.asarray(b_))
 
+    @pytest.mark.heavy
     def test_full_model_grads_with_both_carries(self, monkeypatch):
         """PDA_PALLAS_CARRY=1 + PDA_PALLAS_CARRY_BWD=1 end-to-end: identical
         loss and parameter gradients through the full PUNet step."""

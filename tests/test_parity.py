@@ -399,6 +399,7 @@ class TestPredictionParity:
         )
 
 
+@pytest.mark.heavy
 class TestTrainingParity:
     """TWO-SIDED training parity (VERDICT r2 next-round #3): from one
     converted common init, train the ACTUAL reference torch model (CPU) and
