@@ -84,7 +84,7 @@ DTYPE = {"f32": jnp.float32, "bf16": jnp.bfloat16}[
 # the JSON. Valid ONLY on the device kind it was measured on — on any other
 # backend the fallback emits null + "unmeasured-config" instead (a recorded
 # v5e ratio says nothing about other hardware).
-RECORDED_VS_BASELINE = 2.29  # round-4 live measurement (warm-cache full run)
+RECORDED_VS_BASELINE = 2.43  # round-5 live measurement (29.42 patches/s, median-of-3)
 RECORDED_DEVICE_KIND = "TPU v5 lite"  # jax.devices()[0].device_kind at measurement
 
 # Useful-FLOPs floor of the fused MT step at the DEFAULT config (512^2, bs 2,
