@@ -134,6 +134,7 @@ class TestFlatModelPath:
             enc.posterior.log_sigma, ref.posterior.log_sigma, rtol=1e-4, atol=1e-4
         )
 
+    @pytest.mark.heavy
     def test_loss_grads_flat_match_image(self, monkeypatch):
         from pda.train.steps import _punet_loss
 

@@ -749,6 +749,7 @@ class TestSpatialShardMap1x4:
             np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=2e-5)
 
 
+@pytest.mark.heavy
 class TestPallasShardMapComposition:
     """Execute the 'fused Pallas kernels alive per shard' claim
     (engine._dp_shard_map docstring; VERDICT r4 missing #1): the fused
