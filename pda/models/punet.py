@@ -416,68 +416,6 @@ def mc_decode_logits(
     return jax.vmap(_decode)(zs)
 
 
-def mc_consensus_stream(
-    model: ProbabilisticUnet,
-    params,
-    features: jax.Array,
-    dist: DiagGaussian,
-    key: jax.Array,
-    n_samples: int,
-    *,
-    upper: float = 0.9,
-    lower: float = 0.1,
-    masking: bool = False,
-):
-    """(pseudo, consensus) with the sample axis STREAMED through a lax.scan.
-
-    Semantically identical to ``consensus_from_logits(mc_decode_logits(...))``
-    (same draws, same logit-space thresholds) but the (n, B, H, W, c) hidden
-    stacks never exist: each scan iteration decodes ONE sample's Fcomb tail
-    and folds it into running mean/agreement accumulators, so the only
-    HBM-resident MC state is two (B, H, W, nc) f32 accumulators — the
-    round-3 audit billed the materialized mid stack + last-layer re-read at
-    >1 GB of step traffic (VERDICT r3 next-round item 1a).
-
-    Gradient-free by construction (teacher/pseudo path only).
-    """
-    params = jax.lax.stop_gradient(params)
-    fc = params["fcomb"]
-    dt = model.dtype
-    zs = dist.sample_n(key, n_samples)  # (n, B, L)
-    feat_term = jnp.dot(
-        features.astype(dt), fc["feat_proj"]["kernel"].astype(dt)
-    )
-    zp = fc["z_proj"]
-    zts = zs.astype(dt) @ zp["kernel"].astype(dt) + zp["bias"].astype(dt)
-    mids = [
-        (fc[m]["kernel"].astype(dt), fc[m]["bias"].astype(dt))
-        for m in _mid_keys(fc)
-    ]
-    wl = fc["last_layer"]["kernel"].astype(dt)
-    bl = fc["last_layer"]["bias"].astype(dt)
-    logit_upper = float(np.log(upper / (1.0 - upper)))
-    logit_lower = float(np.log(lower / (1.0 - lower)))
-
-    def body(carry, zt):
-        p_sum, a_sum = carry
-        h = nn.relu(feat_term + zt[:, None, None, :])
-        for wk, bk in mids:
-            h = nn.relu(h @ wk + bk)
-        logits = (h @ wl + bl).astype(jnp.float32)
-        agree = jnp.logical_or(logits >= logit_upper, logits <= logit_lower)
-        return (p_sum + jax.nn.sigmoid(logits),
-                a_sum + agree.astype(jnp.float32)), None
-
-    shape = (*feat_term.shape[:-1], model.num_classes)
-    init = (jnp.zeros(shape, jnp.float32), jnp.zeros(shape, jnp.float32))
-    (p_sum, a_sum), _ = jax.lax.scan(body, init, zts)
-    pseudo = p_sum / n_samples
-    consensus = a_sum / n_samples
-    if masking:
-        consensus = (consensus == 1.0).astype(jnp.float32)
-    return pseudo, consensus
-
-
 def mc_predict_probs(
     model: ProbabilisticUnet,
     params,

@@ -235,7 +235,13 @@ class Trainer:
             # error instead of this friendly fallback
             heights = {("train", int(np.asarray(example_batch[0]).shape[1]))}
             try:
+                # peek one val batch WITHOUT advancing the loader's epoch
+                # counter (Loader seeds per-(seed, epoch, index) — a stray
+                # increment would shift every later val sample)
+                ep = getattr(self.val_loader, "_epoch", None)
                 val_batch = next(iter(self.val_loader))
+                if ep is not None:
+                    self.val_loader._epoch = ep
                 heights.add(("val", int(np.asarray(val_batch[0]).shape[1])))
             except (StopIteration, TypeError):
                 pass

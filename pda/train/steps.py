@@ -173,20 +173,6 @@ def _mc_pseudo(model, params, x, key, n_samples, masking, axis_name=None):
 
         y, z = mc_pseudo_fused(model, params, x, key, n_samples, masking)
         return jax.lax.stop_gradient(y), jax.lax.stop_gradient(z)
-    import os
-
-    if os.environ.get("PDA_MC_SCAN", "0") == "1" and axis_name is None:
-        # stream the sample axis: no (n, B, H, W, c) mid stacks in HBM
-        # (models/punet.py::mc_consensus_stream; equivalence-pinned)
-        from ..models.punet import mc_consensus_stream
-
-        params = jax.lax.stop_gradient(params)
-        enc = model.apply({"params": params}, x, method="encode")
-        y, z = mc_consensus_stream(
-            model, params, enc.features, enc.prior, key, n_samples,
-            masking=masking,
-        )
-        return jax.lax.stop_gradient(y), jax.lax.stop_gradient(z)
     params = jax.lax.stop_gradient(params)
     enc = model.apply({"params": params}, x, method="encode")
     logits = mc_decode_logits(

@@ -164,62 +164,3 @@ class TestFcombMidOrdering:
         fake["z_proj"] = None
         keys = _mid_keys(fake)
         assert keys == [f"mid_{i}" for i in range(12)]
-
-
-class TestMCConsensusStream:
-    def test_stream_matches_batched_tail(self):
-        """PDA_MC_SCAN path: mc_consensus_stream (lax.scan, running
-        mean/agreement accumulators, no (n,B,H,W,c) stacks) must reproduce
-        consensus_from_logits(mc_decode_logits(...)) exactly — same draws,
-        same logit-space thresholds (VERDICT r3 next-round item 1a)."""
-        import jax
-        import jax.numpy as jnp
-        import numpy as np
-
-        from pda.core import consensus_from_logits
-        from pda.models import ProbabilisticUnet
-        from pda.models.punet import mc_consensus_stream, mc_decode_logits
-
-        model = ProbabilisticUnet(
-            num_filters=(4, 8, 12, 16), no_convs_fcomb=3, latent_dim=6
-        )
-        x = jnp.asarray(
-            np.random.default_rng(0).normal(size=(2, 32, 32, 1)).astype(np.float32)
-        )
-        params = model.init(jax.random.PRNGKey(0), x, x)["params"]
-        enc = model.apply({"params": params}, x, method="encode")
-        key = jax.random.PRNGKey(7)
-        logits = mc_decode_logits(
-            model, params, enc.features, enc.prior, key, 8
-        )
-        y0, z0 = consensus_from_logits(logits, masking=True)
-        y1, z1 = mc_consensus_stream(
-            model, params, enc.features, enc.prior, key, 8, masking=True
-        )
-        np.testing.assert_allclose(np.asarray(y0), np.asarray(y1), atol=1e-6)
-        np.testing.assert_array_equal(np.asarray(z0), np.asarray(z1))
-
-    def test_mc_scan_knob_in_step_path(self, monkeypatch):
-        """The PDA_MC_SCAN=1 step path produces the same pseudo/consensus as
-        the default path (steps._mc_pseudo dispatch)."""
-        import jax
-        import jax.numpy as jnp
-        import numpy as np
-
-        from pda.models import ProbabilisticUnet
-        from pda.train.steps import _mc_pseudo
-
-        model = ProbabilisticUnet(
-            num_filters=(4, 8, 12, 16), no_convs_fcomb=3, latent_dim=6
-        )
-        x = jnp.asarray(
-            np.random.default_rng(1).normal(size=(2, 32, 32, 1)).astype(np.float32)
-        )
-        params = model.init(jax.random.PRNGKey(0), x, x)["params"]
-        key = jax.random.PRNGKey(3)
-        monkeypatch.setenv("PDA_MC_SCAN", "0")
-        y0, z0 = _mc_pseudo(model, params, x, key, 8, True)
-        monkeypatch.setenv("PDA_MC_SCAN", "1")
-        y1, z1 = _mc_pseudo(model, params, x, key, 8, True)
-        np.testing.assert_allclose(np.asarray(y0), np.asarray(y1), atol=1e-6)
-        np.testing.assert_array_equal(np.asarray(z0), np.asarray(z1))
