@@ -504,7 +504,7 @@ def main():
             # regression guard vs the recorded round-3 measurement (112.1
             # tiles/s, development/bench_infer.py) — a >10% drop rides into
             # the artifact FLAGGED instead of unexamined (VERDICT r4 weak 4)
-            recorded_tiles = 112.1
+            recorded_tiles = 119.0  # round-5 defaults, bench_infer.py
             if n_tiles / dt < 0.9 * recorded_tiles:
                 extra["mc16_regression_vs_recorded"] = round(
                     (n_tiles / dt) / recorded_tiles - 1.0, 3
